@@ -1,0 +1,73 @@
+import os
+
+from dsjax.config import (
+    AdamConfig,
+    BiDirectionalConfig,
+    SGDConfig,
+    TrainConfig,
+    UniDirectionalConfig,
+    compose,
+    from_dict,
+    to_dict,
+)
+
+
+def test_defaults_match_reference():
+    cfg = TrainConfig()
+    assert cfg.seed == 123456
+    assert isinstance(cfg.optim, AdamConfig)
+    assert cfg.optim.learning_rate == 1.5e-4
+    assert cfg.optim.learning_anneal == 0.99
+    assert cfg.optim.weight_decay == 1e-5
+    assert cfg.optim.betas == (0.9, 0.999)
+    assert isinstance(cfg.model, BiDirectionalConfig)
+    assert cfg.model.hidden_size == 1024
+    assert cfg.model.hidden_layers == 5
+    assert cfg.data.spect.sample_rate == 16000
+    assert cfg.data.spect.window_size == 0.02
+    assert cfg.trainer.gradient_clip_val == 400.0
+
+
+def test_dotted_overrides():
+    cfg = compose(TrainConfig, ["data.batch_size=8", "trainer.max_epochs=3",
+                                "optim.learning_rate=1e-3", "data.spect.window_size=0.025"])
+    assert cfg.data.batch_size == 8
+    assert cfg.trainer.max_epochs == 3
+    assert cfg.optim.learning_rate == 1e-3
+    assert cfg.data.spect.window_size == 0.025
+
+
+def test_group_swap():
+    cfg = compose(TrainConfig, ["optim=sgd", "optim.momentum=0.8", "model=unidirectional"])
+    assert isinstance(cfg.optim, SGDConfig)
+    assert cfg.optim.momentum == 0.8
+    assert isinstance(cfg.model, UniDirectionalConfig)
+    assert cfg.model.lookahead_context == 20
+
+
+def test_yaml_overlay(tmp_path):
+    p = tmp_path / "an4ish.yaml"
+    p.write_text(
+        "data:\n  train_path: foo.json\n  batch_size: 8\n"
+        "trainer:\n  max_epochs: 70\n  precision: 16\n  gradient_clip_val: 400\n"
+        "checkpoint:\n  save_top_k: 1\n  monitor: wer\n"
+    )
+    cfg = compose(TrainConfig, [f"configs={p}", "data.batch_size=4"])
+    assert cfg.data.train_path == "foo.json"
+    assert cfg.data.batch_size == 4  # CLI beats overlay
+    assert cfg.trainer.max_epochs == 70
+    assert cfg.checkpoint.monitor == "wer"
+
+
+def test_roundtrip_dict():
+    cfg = compose(TrainConfig, ["optim=sgd", "data.batch_size=2"])
+    d = to_dict(cfg)
+    cfg2 = from_dict(d, TrainConfig)
+    assert isinstance(cfg2.optim, SGDConfig)
+    assert cfg2.data.batch_size == 2
+    assert to_dict(cfg2) == d
+
+
+def test_packaged_overlays_exist():
+    base = os.path.join(os.path.dirname(__file__), "..", "dsjax", "configs")
+    assert os.path.isfile(os.path.join(base, "an4.yaml"))
