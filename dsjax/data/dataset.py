@@ -1,0 +1,129 @@
+"""Dataset + collate: manifest -> (spectrogram, transcript ids) -> padded batch.
+
+Reference pipeline (loader/data_loader.py:189-279): per-sample wav load ->
+optional tempo/gain + noise augmentation -> STFT/log1p/normalize ->
+optional SpecAugment; collate sorts by length desc, zero-pads to the batch
+max, and emits flat targets. TPU deltas:
+
+  * targets are a padded (B, L) matrix + lengths (static-shape friendly for
+    the on-device CTC loss) — the flat 1-D concatenation the reference uses
+    (data_loader.py:259-269) exists as `Batch.flat_targets()` for parity;
+  * the time axis pads up to a bucket boundary (multiple of
+    ``bucket_frames``) so XLA sees a small closed set of shapes instead of
+    one shape per batch (bounds recompilation);
+  * `input_percentages` is kept for reference API parity but lengths are
+    carried explicitly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from dsjax.audio.features import FeatureExtractor, num_frames
+from dsjax.audio.io import load_audio
+from dsjax.audio.augment import AugmentPipeline
+from dsjax.config import AugmentationConfig, SpectConfig
+from dsjax.data.manifest import parse_input
+from dsjax.labels import LabelMap
+
+
+@dataclasses.dataclass
+class Batch:
+    """One padded batch. inputs: (B, F, T) float32; targets: (B, L) int32."""
+
+    inputs: np.ndarray
+    input_lengths: np.ndarray      # (B,) valid frame counts
+    targets: np.ndarray            # (B, L) padded with 0 (masked by lengths)
+    target_lengths: np.ndarray     # (B,)
+    input_percentages: np.ndarray  # (B,) reference-parity: len / padded T
+
+    @property
+    def size(self) -> int:
+        return self.inputs.shape[0]
+
+    def flat_targets(self) -> np.ndarray:
+        """Reference-layout flat 1-D targets (data_loader.py:259-269)."""
+        return np.concatenate([self.targets[i, : self.target_lengths[i]]
+                               for i in range(self.size)]) if self.size else np.zeros((0,), np.int32)
+
+
+def round_up(n: int, mult: int) -> int:
+    if mult <= 1:
+        return n
+    return ((n + mult - 1) // mult) * mult
+
+
+def collate(samples: Sequence[Tuple[np.ndarray, List[int]]],
+            bucket_frames: int = 1, bucket_labels: int = 1,
+            pad_to_batch: Optional[int] = None) -> Batch:
+    """Sort by length desc (reference: data_loader.py:251), pad to bucketed
+    max, emit padded targets. ``pad_to_batch`` repeats zero rows so the batch
+    dimension is static too (the pad rows get input_length 1 / target_length
+    0 and contribute zero loss via CTC zero-length handling)."""
+    samples = sorted(samples, key=lambda s: s[0].shape[1], reverse=True)
+    b = len(samples)
+    freq = samples[0][0].shape[0]
+    max_t = round_up(max(s[0].shape[1] for s in samples), bucket_frames)
+    max_l = round_up(max((len(s[1]) for s in samples), default=1) or 1, bucket_labels)
+    b_pad = pad_to_batch if pad_to_batch is not None else b
+    inputs = np.zeros((b_pad, freq, max_t), np.float32)
+    input_lengths = np.ones((b_pad,), np.int32)
+    targets = np.zeros((b_pad, max_l), np.int32)
+    target_lengths = np.zeros((b_pad,), np.int32)
+    percentages = np.zeros((b_pad,), np.float32)
+    for i, (spect, transcript) in enumerate(samples):
+        t = spect.shape[1]
+        inputs[i, :, :t] = spect
+        input_lengths[i] = t
+        targets[i, : len(transcript)] = transcript
+        target_lengths[i] = len(transcript)
+        percentages[i] = t / float(max_t)
+    return Batch(inputs, input_lengths, targets, target_lengths, percentages)
+
+
+class SpectrogramDataset:
+    """Manifest- or directory-backed dataset (reference:
+    data_loader.py:189-244). __getitem__ returns (spect (F, T), ids list)."""
+
+    def __init__(self, spect_cfg: SpectConfig, input_path: str,
+                 labels: Sequence[str], normalize: bool = True,
+                 aug_cfg: Optional[AugmentationConfig] = None,
+                 seed: int = 0):
+        self.ids = parse_input(input_path)
+        self.label_map = LabelMap(labels)
+        self.spect_cfg = spect_cfg
+        self.extractor = FeatureExtractor(spect_cfg, normalize=normalize)
+        self.augment = AugmentPipeline(aug_cfg, spect_cfg, seed=seed) if aug_cfg else None
+
+    def __len__(self) -> int:
+        return len(self.ids)
+
+    def __getitem__(self, index: int) -> Tuple[np.ndarray, List[int]]:
+        wav_path, transcript_path = self.ids[index]
+        y = load_audio(str(wav_path), self.spect_cfg.sample_rate)
+        if self.augment is not None:
+            y = self.augment.apply_waveform(y)
+        spect = self.extractor(y)
+        if self.augment is not None:
+            spect = self.augment.apply_spectrogram(spect)
+        transcript = self.parse_transcript(str(transcript_path))
+        return spect, transcript
+
+    def parse_transcript(self, transcript_path: str) -> List[int]:
+        with open(transcript_path, "r", encoding="utf8") as f:
+            transcript = f.read().replace("\n", "")
+        return self.label_map.encode(transcript)
+
+    def frame_count(self, index: int) -> int:
+        """Cheap frame-count estimate (header read only) for bucketing."""
+        from dsjax.audio.io import read_wav
+
+        wav_path, _ = self.ids[index]
+        x, sr = read_wav(str(wav_path))
+        n = x.shape[1]
+        if sr != self.spect_cfg.sample_rate:
+            n = int(n * self.spect_cfg.sample_rate / sr)
+        return num_frames(n, self.extractor.hop)

@@ -1,0 +1,75 @@
+"""Data pipeline: threaded prefetch of collated batches.
+
+Replaces the reference's torch DataLoader + worker processes
+(loader/data_loader.py:273-279, data_module.py): a small thread pool
+parses/augments samples (releasing the GIL inside numpy/FFT), batches are
+collated to bucketed static shapes and prefetched ahead of the training
+step so the TPU never waits on the host.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional
+
+from concurrent.futures import ThreadPoolExecutor
+
+from dsjax.data.dataset import Batch, SpectrogramDataset, collate
+from dsjax.data.sampler import BucketBatchSampler
+
+
+class DataPipeline:
+    def __init__(self, dataset: SpectrogramDataset, sampler: BucketBatchSampler,
+                 bucket_frames: int = 128, bucket_labels: int = 64,
+                 num_workers: int = 2, prefetch: int = 2,
+                 pad_to_batch: Optional[int] = None):
+        self.dataset = dataset
+        self.sampler = sampler
+        self.bucket_frames = bucket_frames
+        self.bucket_labels = bucket_labels
+        self.num_workers = max(1, num_workers)
+        self.prefetch = max(1, prefetch)
+        self.pad_to_batch = pad_to_batch
+
+    def __len__(self) -> int:
+        return len(self.sampler)
+
+    def _load_batch(self, indices) -> Batch:
+        samples = [self.dataset[i] for i in indices]
+        return collate(samples, self.bucket_frames, self.bucket_labels,
+                       self.pad_to_batch)
+
+    def __iter__(self) -> Iterator[Batch]:
+        batch_queue: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+
+        def producer():
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    from collections import deque
+
+                    window: deque = deque()
+                    it = iter(self.sampler)
+                    # keep a bounded window of in-flight batch loads
+                    depth = self.num_workers + self.prefetch
+                    for idx in it:
+                        window.append(pool.submit(self._load_batch, idx))
+                        if len(window) >= depth:
+                            batch_queue.put(window.popleft().result())
+                    while window:
+                        batch_queue.put(window.popleft().result())
+            except BaseException as e:  # propagate into consumer
+                batch_queue.put(e)
+            finally:
+                batch_queue.put(sentinel)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = batch_queue.get()
+            if item is sentinel:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item

@@ -1,0 +1,213 @@
+"""CTC prefix beam search with optional n-gram LM shallow fusion.
+
+API-parity with the reference BeamCTCDecoder (deepspeech_pytorch/
+decoder.py:56-118), which wraps the external C++ ctcdecode package: same
+constructor surface (labels, lm_path, alpha, beta, cutoff_top_n, cutoff_prob,
+beam_width, num_processes, blank_index), same ``decode(probs, sizes) ->
+(strings, offsets)`` contract, and ``reset_params(alpha, beta)`` for the LM
+hyperparameter tuner (reference: search_lm_params.py:54-57).
+
+Algorithm: standard CTC prefix beam search (Hannun et al. 2014) in log space
+with per-prefix (p_blank, p_nonblank) mass, candidate pruning by
+cutoff_top_n / cutoff_prob, and word-level LM fusion: on completing a word
+(space emission, plus the trailing word at finalization) the path score
+gains ``alpha * ln P_lm(word | history) + beta``.
+
+The pure-Python implementation here is the semantic reference; a C++
+implementation (dsjax/cpp/beam) is used automatically when built, keeping
+host-side decode off the critical path.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from dsjax.decode.lm import ArpaLM
+from dsjax.labels import LabelMap
+
+NEG_INF = -float("inf")
+
+
+def _logaddexp(a: float, b: float) -> float:
+    if a == NEG_INF:
+        return b
+    if b == NEG_INF:
+        return a
+    m = a if a > b else b
+    return m + math.log(math.exp(a - m) + math.exp(b - m))
+
+
+@dataclass
+class _Beam:
+    p_b: float = NEG_INF           # log mass of paths ending in blank
+    p_nb: float = NEG_INF          # log mass of paths ending in non-blank
+    offsets: Tuple[int, ...] = ()  # frame index per emitted char
+
+    def total(self) -> float:
+        return _logaddexp(self.p_b, self.p_nb)
+
+
+class BeamCTCDecoder:
+    def __init__(self, labels: Sequence[str], lm_path: Optional[str] = None,
+                 alpha: float = 0.0, beta: float = 0.0, cutoff_top_n: int = 40,
+                 cutoff_prob: float = 1.0, beam_width: int = 100,
+                 num_processes: int = 4, blank_index: int = 0):
+        self.label_map = LabelMap(labels, blank_index)
+        self.labels = list(labels)
+        self.blank_index = blank_index
+        self.space_index = self.label_map.space_index
+        self.alpha = alpha
+        self.beta = beta
+        self.cutoff_top_n = cutoff_top_n
+        self.cutoff_prob = cutoff_prob
+        self.beam_width = beam_width
+        self.num_processes = num_processes
+        self.lm = ArpaLM(lm_path) if lm_path else None
+        try:  # native fast path when the C++ extension is built
+            from dsjax.cpp.beam_binding import CppBeamDecoder
+
+            self._cpp = CppBeamDecoder(self.labels, lm_path, blank_index,
+                                       self.space_index)
+        except Exception:
+            self._cpp = None
+
+    def reset_params(self, alpha: float, beta: float) -> None:
+        """LM weight update without rebuilding (reference: decoder.py via
+        search_lm_params.py:54-57)."""
+        self.alpha = alpha
+        self.beta = beta
+
+    # ------------------------------------------------------------------
+
+    def decode(self, probs, sizes: Optional[Sequence[int]] = None
+               ) -> Tuple[List[List[str]], List[List[np.ndarray]]]:
+        """probs: (B, T, C) posteriors (softmax output). Returns top-beam
+        strings + per-char frame offsets, reference layout."""
+        probs = np.asarray(probs, dtype=np.float32)
+        b, t, c = probs.shape
+        sizes = [t] * b if sizes is None else [int(s) for s in np.asarray(sizes)]
+        all_strings: List[List[str]] = []
+        all_offsets: List[List[np.ndarray]] = []
+        for i in range(b):
+            if self._cpp is not None:
+                hyps = self._cpp.decode(probs[i, :sizes[i]], self.alpha, self.beta,
+                                        self.beam_width, self.cutoff_top_n,
+                                        self.cutoff_prob)
+            else:
+                hyps = self._decode_one(probs[i, :sizes[i]])
+            strings = []
+            offsets = []
+            for ids, offs, _score in hyps:
+                strings.append("".join(self.label_map.int_to_char[j] for j in ids))
+                offsets.append(np.asarray(offs, np.int32))
+            if not strings:
+                strings, offsets = [""], [np.zeros((0,), np.int32)]
+            all_strings.append(strings)
+            all_offsets.append(offsets)
+        return all_strings, all_offsets
+
+    # ------------------------------------------------------------------
+
+    def _lm_score(self, prefix: Tuple[int, ...]) -> float:
+        """alpha * ln P(last word | history) + beta for the word just
+        completed (prefix must end at a word boundary or utterance end)."""
+        if self.lm is None:
+            return self.beta
+        chars = [self.label_map.int_to_char[i] for i in prefix]
+        words = "".join(chars).split()
+        if not words:
+            return 0.0
+        return self.alpha * self.lm.score_word_ln(words[-1], words[:-1]) + self.beta
+
+    def _decode_one(self, lp: np.ndarray) -> List[Tuple[Tuple[int, ...], Tuple[int, ...], float]]:
+        t_dim, c_dim = lp.shape
+        log_probs = np.log(np.maximum(lp, 1e-30))
+        beams: Dict[Tuple[int, ...], _Beam] = {(): _Beam(p_b=0.0)}
+        for t in range(t_dim):
+            row = log_probs[t]
+            # candidate pruning: top cutoff_top_n chars, cumulative cutoff_prob
+            order = np.argsort(row)[::-1]
+            if self.cutoff_prob < 1.0:
+                cum = np.cumsum(np.exp(row[order]))
+                n_keep = int(np.searchsorted(cum, self.cutoff_prob) + 1)
+            else:
+                n_keep = c_dim
+            cand = order[: min(self.cutoff_top_n, n_keep, c_dim)]
+            next_beams: Dict[Tuple[int, ...], _Beam] = {}
+
+            def get(prefix: Tuple[int, ...], offsets: Tuple[int, ...]) -> _Beam:
+                bm = next_beams.get(prefix)
+                if bm is None:
+                    bm = _Beam(offsets=offsets)
+                    next_beams[prefix] = bm
+                return bm
+
+            for prefix, beam in beams.items():
+                p_total = beam.total()
+                for ci in cand:
+                    p_c = float(row[ci])
+                    if ci == self.blank_index:
+                        nb = get(prefix, beam.offsets)
+                        nb.p_b = _logaddexp(nb.p_b, p_total + p_c)
+                        continue
+                    last = prefix[-1] if prefix else -1
+                    if ci == last:
+                        # same char: repeat collapses into prefix ...
+                        nb = get(prefix, beam.offsets)
+                        nb.p_nb = _logaddexp(nb.p_nb, beam.p_nb + p_c)
+                        # ... or extends after a blank
+                        ext = prefix + (ci,)
+                        score = beam.p_b + p_c
+                        if ci == self.space_index:
+                            score += self._lm_score(prefix)
+                        nb2 = get(ext, beam.offsets + (t,))
+                        nb2.p_nb = _logaddexp(nb2.p_nb, score)
+                    else:
+                        ext = prefix + (ci,)
+                        score = p_total + p_c
+                        if ci == self.space_index:
+                            score += self._lm_score(prefix)
+                        nb2 = get(ext, beam.offsets + (t,))
+                        nb2.p_nb = _logaddexp(nb2.p_nb, score)
+            # prune to beam width
+            ranked = sorted(next_beams.items(), key=lambda kv: kv[1].total(),
+                            reverse=True)
+            beams = dict(ranked[: self.beam_width])
+
+        # finalize: score trailing word
+        results = []
+        for prefix, beam in beams.items():
+            score = beam.total()
+            if self.lm is not None and prefix and prefix[-1] != self.space_index:
+                score += self._lm_score(prefix)
+            results.append((prefix, beam.offsets, score))
+        results.sort(key=lambda r: r[2], reverse=True)
+        return results
+
+    # reference-API helpers (decoder.py:76-101)
+    def convert_to_strings(self, out, seq_len):
+        results = []
+        for b, batch in enumerate(out):
+            utterances = []
+            for p, utt in enumerate(batch):
+                size = int(seq_len[b][p])
+                utterances.append(
+                    "".join(self.label_map.int_to_char[int(x)] for x in utt[:size])
+                    if size > 0 else "")
+            results.append(utterances)
+        return results
+
+    def convert_tensor(self, offsets, sizes):
+        results = []
+        for b, batch in enumerate(offsets):
+            utterances = []
+            for p, utt in enumerate(batch):
+                size = int(sizes[b][p])
+                utterances.append(np.asarray(utt[:size], np.int32) if size > 0
+                                  else np.zeros((0,), np.int32))
+            results.append(utterances)
+        return results

@@ -1,0 +1,148 @@
+"""Inference workflows: model loading, chunked streaming transcription.
+
+Reference parity (deepspeech_pytorch/inference.py, utils.py:29-54): load a
+checkpoint (ours or a reference .ckpt via the torch importer), build a
+greedy/beam decoder from LMConfig, then transcribe chunk-by-chunk carrying
+the RNN hidden state across chunks so arbitrarily long audio streams through
+fixed device memory (inference.py:79-99).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, Dict, Iterator, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dsjax.audio.features import FeatureExtractor
+from dsjax.audio.io import load_audio
+from dsjax.config import (BiDirectionalConfig, DecoderType, LMConfig,
+                          SpectConfig, TrainConfig, from_dict)
+from dsjax.decode.beam import BeamCTCDecoder
+from dsjax.decode.greedy import GreedyDecoder
+from dsjax.labels import DEFAULT_LABELS
+from dsjax.model.ds2 import DeepSpeech2
+
+
+@dataclasses.dataclass
+class ModelBundle:
+    model: DeepSpeech2
+    variables: Dict[str, Any]
+    labels: List[str]
+    spect_cfg: SpectConfig
+
+    def __post_init__(self):
+        self._apply = jax.jit(
+            lambda v, x, lens, carry: self.model.apply(v, x, lens, carry, train=False),
+            static_argnames=())
+
+    def forward(self, spect: np.ndarray, lengths: np.ndarray, carry=None):
+        """(B, F, T) -> (probs (B, T', C), out_lens, carry)."""
+        x = jnp.asarray(spect)
+        lens = jnp.asarray(lengths, jnp.int32)
+        if carry is None:
+            return self.model.apply(self.variables, x, lens, train=False)
+        return self.model.apply(self.variables, x, lens, carry, train=False)
+
+
+def load_model(model_path: str, precision: int = 32) -> ModelBundle:
+    """Load a dsjax checkpoint dir or a reference torch .ckpt file."""
+    dtype = jnp.bfloat16 if precision == 16 else jnp.float32
+    if os.path.isfile(model_path) and model_path.endswith(".ckpt"):
+        from dsjax.model.torch_import import import_checkpoint
+
+        imported = import_checkpoint(model_path)
+        labels = imported["labels"] or list(DEFAULT_LABELS)
+        model = DeepSpeech2(num_classes=imported["num_classes"],
+                            spect_cfg=imported["spect_cfg"],
+                            model_cfg=imported["model_cfg"], dtype=dtype)
+        variables = {"params": imported["params"],
+                     "batch_stats": imported["batch_stats"]}
+        return ModelBundle(model, variables, labels, imported["spect_cfg"])
+
+    # dsjax checkpoint directory
+    from dsjax.train.checkpoint import CheckpointHandler, load_meta
+    from dsjax.train.loop import Trainer
+
+    meta = load_meta(model_path)
+    cfg = from_dict(meta["config"], TrainConfig)
+    labels = meta.get("labels") or list(DEFAULT_LABELS)
+    trainer = Trainer(cfg, labels)
+    state = trainer.init_state()
+    handler = CheckpointHandler(model_path, cfg=cfg, labels=labels)
+    try:
+        state = handler.restore(state, best=True)
+    except (FileNotFoundError, Exception) as e:  # fall back to last
+        try:
+            state = handler.restore(state, best=False)
+        except Exception:
+            raise FileNotFoundError(f"no restorable checkpoint in {model_path}") from e
+    model = DeepSpeech2(num_classes=len(labels), spect_cfg=cfg.data.spect,
+                        model_cfg=cfg.model, dtype=dtype)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    return ModelBundle(model, variables, labels, cfg.data.spect)
+
+
+def load_decoder(labels: List[str], cfg: LMConfig):
+    """Greedy or beam decoder from config (reference: utils.py:37-54)."""
+    if cfg.decoder_type == DecoderType.beam:
+        return BeamCTCDecoder(labels, lm_path=cfg.lm_path or None,
+                              alpha=cfg.alpha, beta=cfg.beta,
+                              cutoff_top_n=cfg.cutoff_top_n,
+                              cutoff_prob=cfg.cutoff_prob,
+                              beam_width=cfg.beam_width,
+                              num_processes=cfg.lm_workers)
+    return GreedyDecoder(labels)
+
+
+def run_transcribe(audio_path: str, bundle: ModelBundle, decoder,
+                   chunk_size_seconds: float = -1.0,
+                   normalize: bool = True) -> Tuple[List[List[str]], List[List[np.ndarray]]]:
+    """Chunked transcription with RNN state carry (reference:
+    inference.py:79-99). chunk_size_seconds <= 0 transcribes in one shot."""
+    extractor = FeatureExtractor(bundle.spect_cfg, normalize=normalize)
+    y = load_audio(audio_path, bundle.spect_cfg.sample_rate)
+    carry = None
+    outs = []
+    for y_chunk in extractor.chunks(y, chunk_size_seconds):
+        if len(y_chunk) == 0:
+            continue
+        spect = extractor(y_chunk)[None]  # (1, F, T)
+        lens = np.array([spect.shape[2]], np.int32)
+        probs, out_lens, carry = bundle.forward(spect, lens, carry)
+        outs.append(np.asarray(probs))
+    if not outs:
+        return [[""]], [[np.zeros((0,), np.int32)]]
+    all_out = np.concatenate(outs, axis=1)
+    return decoder.decode(all_out)
+
+
+def decode_results(decoded_output: List[List[str]],
+                   decoded_offsets: List[List[np.ndarray]],
+                   model_path: str = "", lm_cfg: Optional[LMConfig] = None,
+                   offsets: bool = False, top_paths: int = 1) -> Dict[str, Any]:
+    """Result JSON shape parity (reference: inference.py:16-41)."""
+    lm_cfg = lm_cfg or LMConfig()
+    results: Dict[str, Any] = {
+        "output": [],
+        "_meta": {
+            "acoustic_model": {"path": model_path},
+            "language_model": {"path": lm_cfg.lm_path},
+            "decoder": {
+                "alpha": lm_cfg.alpha,
+                "beta": lm_cfg.beta,
+                "type": lm_cfg.decoder_type.value,
+            },
+        },
+    }
+    for b in range(len(decoded_output)):
+        for pi in range(min(top_paths, len(decoded_output[b]))):
+            result = {"transcription": decoded_output[b][pi]}
+            if offsets:
+                result["offsets"] = np.asarray(decoded_offsets[b][pi]).tolist()
+            results["output"].append(result)
+    return results

@@ -1,0 +1,6 @@
+from dsjax.parallel.mesh import (  # noqa: F401
+    make_mesh,
+    batch_sharding,
+    param_shardings,
+    replicated,
+)

@@ -1,0 +1,227 @@
+"""Training / validation loops (SPMD, jit-compiled, device-resident state).
+
+Replaces the reference's PyTorch-Lightning Trainer + DDP runtime
+(training.py:42-47, model.py:241-271). One compiled train step does:
+forward (bf16 under precision=16) -> log_softmax (f32) -> CTC loss ->
+grads -> global-norm clip 400 -> AdamW/SGD update with per-epoch exponential
+LR anneal. Batches are sharded over the mesh 'data' axis; parameters follow
+the sharding rules in dsjax.parallel (replicated for pure DP); XLA inserts
+the gradient all-reduces over ICI — there is no NCCL-style explicit
+communication anywhere.
+
+Loss scaling note: the reference computes a per-replica CTC *sum* loss and
+DDP averages gradients across replicas. The SPMD-global equivalent is
+sum / n_data_shards, which this loop applies, so optimization dynamics match
+the reference at any device count.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Dict, Iterable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from dsjax.config import TrainConfig
+from dsjax.data.dataset import Batch
+from dsjax.decode.greedy import GreedyDecoder
+from dsjax.model.ctc import ctc_loss
+from dsjax.model.ds2 import DeepSpeech2, init_model
+from dsjax.parallel.mesh import batch_sharding, make_mesh, param_shardings
+from dsjax.train.metrics import CharErrorRate, WordErrorRate, update_batch
+from dsjax.train.state import TrainState, epoch_lr, make_optimizer, set_lr
+
+
+def _limit(n_batches: int, limit: float) -> int:
+    if limit is None:
+        return n_batches
+    if limit <= 1.0:
+        return max(1, int(n_batches * limit)) if limit > 0 else 0
+    return min(n_batches, int(limit))
+
+
+class Trainer:
+    def __init__(self, cfg: TrainConfig, labels: List[str],
+                 mesh: Optional[Mesh] = None):
+        self.cfg = cfg
+        self.labels = list(labels)
+        dtype = jnp.bfloat16 if cfg.trainer.precision == 16 else jnp.float32
+        self.model = DeepSpeech2(num_classes=len(labels), spect_cfg=cfg.data.spect,
+                                 model_cfg=cfg.model, dtype=dtype)
+        self.mesh = mesh or make_mesh(cfg.trainer.mesh_data, cfg.trainer.mesh_model)
+        self.dp = self.mesh.shape["data"]
+        self.tx = make_optimizer(cfg.optim, cfg.trainer)
+        self.decoder = GreedyDecoder(labels)
+        self._compiled: Dict[Tuple, Callable] = {}
+        self._eval_compiled: Dict[Tuple, Callable] = {}
+
+    # ------------------------------------------------------------------
+    # state construction / sharding
+    # ------------------------------------------------------------------
+
+    def init_state(self, rng: Optional[jax.Array] = None) -> TrainState:
+        rng = rng if rng is not None else jax.random.PRNGKey(self.cfg.seed)
+        variables = init_model(self.model, rng)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        opt_state = self.tx.init(params)
+        state = TrainState(params=params, batch_stats=batch_stats,
+                           opt_state=opt_state,
+                           step=jnp.zeros((), jnp.int32),
+                           epoch=jnp.zeros((), jnp.int32))
+        return self.shard_state(state)
+
+    def state_shardings(self, state: TrainState) -> TrainState:
+        p_sh = param_shardings(self.mesh, state.params)
+        rep = NamedSharding(self.mesh, P())
+
+        def like_params(tree):
+            # optimizer moments follow parameter shardings where shapes match
+            flat_p, treedef_p = jax.tree_util.tree_flatten(p_sh)
+            def match(x):
+                return rep
+            return jax.tree_util.tree_map(match, tree)
+
+        return TrainState(
+            params=p_sh,
+            batch_stats=jax.tree_util.tree_map(lambda _: rep, state.batch_stats),
+            opt_state=jax.tree_util.tree_map(lambda _: rep, state.opt_state),
+            step=rep, epoch=rep,
+        )
+
+    def shard_state(self, state: TrainState) -> TrainState:
+        sh = self.state_shardings(state)
+        return jax.tree_util.tree_map(
+            lambda x, s: jax.device_put(x, s), state, sh,
+            is_leaf=lambda x: x is None)
+
+    # ------------------------------------------------------------------
+    # compiled steps
+    # ------------------------------------------------------------------
+
+    def _train_step_fn(self):
+        model, tx, optim_cfg, dp = self.model, self.tx, self.cfg.optim, self.dp
+
+        def step_fn(state: TrainState, inputs, input_lengths, targets, target_lengths):
+            def loss_fn(params):
+                (out, out_lens, _), mut = model.apply(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    inputs, input_lengths, train=True, mutable=["batch_stats"])
+                logp = jax.nn.log_softmax(out.astype(jnp.float32), axis=-1)
+                loss = ctc_loss(logp, out_lens, targets, target_lengths,
+                                reduction="sum", zero_infinity=True)
+                return loss / dp, mut["batch_stats"]
+
+            (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+            opt_state = set_lr(state.opt_state, epoch_lr(optim_cfg, state.epoch))
+            updates, opt_state = tx.update(grads, opt_state, state.params)
+            params = jax.tree_util.tree_map(lambda p, u: p + u, state.params, updates)
+            new_state = TrainState(params=params, batch_stats=new_stats,
+                                   opt_state=opt_state, step=state.step + 1,
+                                   epoch=state.epoch)
+            return new_state, loss
+
+        return step_fn
+
+    def train_step(self, state: TrainState, batch: Batch) -> Tuple[TrainState, jax.Array]:
+        key = (batch.inputs.shape, batch.targets.shape)
+        if key not in self._compiled:
+            sh = self.state_shardings(state)
+            bsh = batch_sharding(self.mesh)
+            self._compiled[key] = jax.jit(
+                self._train_step_fn(),
+                in_shardings=(sh, bsh, bsh, bsh, bsh),
+                out_shardings=(sh, NamedSharding(self.mesh, P())),
+                donate_argnums=(0,) if self.cfg.trainer.donate_state else (),
+            )
+        args = self.put_batch(batch)
+        return self._compiled[key](state, *args)
+
+    def put_batch(self, batch: Batch):
+        bsh = batch_sharding(self.mesh)
+        return tuple(jax.device_put(a, bsh) for a in
+                     (batch.inputs, batch.input_lengths.astype(np.int32),
+                      batch.targets.astype(np.int32),
+                      batch.target_lengths.astype(np.int32)))
+
+    def eval_step(self, state: TrainState, batch: Batch):
+        key = batch.inputs.shape
+        if key not in self._eval_compiled:
+            sh = self.state_shardings(state)
+            bsh = batch_sharding(self.mesh)
+            model = self.model
+
+            def fn(st: TrainState, inputs, input_lengths):
+                out, out_lens, _ = model.apply(
+                    {"params": st.params, "batch_stats": st.batch_stats},
+                    inputs, input_lengths, train=False)
+                return out, out_lens
+
+            self._eval_compiled[key] = jax.jit(
+                fn, in_shardings=(sh, bsh, bsh),
+                out_shardings=(bsh, bsh))
+        bsh = batch_sharding(self.mesh)
+        inputs = jax.device_put(batch.inputs, bsh)
+        lens = jax.device_put(batch.input_lengths.astype(np.int32), bsh)
+        return self._eval_compiled[key](state, inputs, lens)
+
+    # ------------------------------------------------------------------
+    # epoch loops
+    # ------------------------------------------------------------------
+
+    def validate(self, state: TrainState, pipeline: Iterable[Batch],
+                 max_batches: Optional[int] = None, verbose: bool = False
+                 ) -> Tuple[float, float]:
+        wer, cer = WordErrorRate(), CharErrorRate()
+        for i, batch in enumerate(pipeline):
+            if max_batches is not None and i >= max_batches:
+                break
+            out, out_lens = self.eval_step(state, batch)
+            n_real = int(np.sum(batch.target_lengths > 0)) or batch.size
+            decoded, _ = self.decoder.decode(out, np.asarray(out_lens))
+            refs = self.decoder.convert_to_strings(
+                [batch.targets[b, :batch.target_lengths[b]] for b in range(batch.size)])
+            transcripts = [d[0] for d in decoded[:n_real]]
+            references = [r[0] for r in refs[:n_real]]
+            update_batch(wer, cer, transcripts, references)
+            if verbose:
+                for t, r in zip(transcripts, references):
+                    print(f"Ref:  {r}\nHyp:  {t}\n")
+        return wer.compute(), cer.compute()
+
+    def fit(self, train_pipeline, val_pipeline, checkpoint_handler=None,
+            state: Optional[TrainState] = None,
+            log_fn: Callable[[str], None] = print) -> TrainState:
+        cfg = self.cfg
+        state = state if state is not None else self.init_state()
+        start_epoch = int(np.asarray(state.epoch))
+        n_train = _limit(len(train_pipeline), cfg.trainer.limit_train_batches)
+        n_val = _limit(len(val_pipeline), cfg.trainer.limit_val_batches)
+        for epoch in range(start_epoch, cfg.trainer.max_epochs):
+            train_pipeline.sampler.set_epoch(epoch)
+            state = state.replace(epoch=jnp.asarray(epoch, jnp.int32))
+            state = self.shard_state(state)
+            t0 = time.time()
+            losses = []
+            for i, batch in enumerate(train_pipeline):
+                if i >= n_train:
+                    break
+                state, loss = self.train_step(state, batch)
+                if (i + 1) % max(1, cfg.trainer.log_every_n_steps) == 0:
+                    log_fn(f"epoch {epoch} step {i + 1}/{n_train} "
+                           f"loss {float(loss):.3f}")
+                losses.append(loss)
+            train_time = time.time() - t0
+            mean_loss = float(np.mean([float(l) for l in losses])) if losses else 0.0
+            wer, cer = self.validate(state, val_pipeline, max_batches=n_val)
+            log_fn(f"epoch {epoch}: loss {mean_loss:.3f} "
+                   f"wer {wer:.2f} cer {cer:.2f} ({train_time:.1f}s)")
+            if checkpoint_handler is not None and cfg.trainer.enable_checkpointing:
+                checkpoint_handler.save(state, {"wer": wer, "cer": cer,
+                                                "loss": mean_loss, "epoch": epoch})
+            # sampler start_index reset after completing an epoch
+            train_pipeline.sampler.start_index = 0
+        return state

@@ -4,7 +4,11 @@ multi-chip sharding paths are exercised without TPU hardware
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU even when the session env points at TPU (JAX_PLATFORMS=axon):
+# the suite must exercise multi-device sharding, which needs the faked
+# 8-device CPU platform. Set DSJAX_TEST_TPU=1 to run on real hardware.
+if not os.environ.get("DSJAX_TEST_TPU"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
