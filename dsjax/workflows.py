@@ -1,0 +1,122 @@
+"""Workflow layer: train / evaluate / transcribe orchestration.
+
+Reference parity: deepspeech_pytorch/training.py:13-47 (train),
+testing.py:12-50 (evaluate), inference.py:44-76 (transcribe). Each function
+takes a composed config and wires data + model + runtime.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from dsjax.config import (EvalConfig, TrainConfig, TranscribeConfig)
+from dsjax.data.dataset import SpectrogramDataset
+from dsjax.data.loader import DataPipeline
+from dsjax.data.sampler import (BucketBatchSampler, DistributedBucketSampler,
+                                OrderedBatchSampler)
+from dsjax.inference import decode_results, load_decoder, load_model, run_transcribe
+from dsjax.labels import load_labels
+from dsjax.train.checkpoint import CheckpointHandler, find_latest_checkpoint_dir
+from dsjax.train.loop import Trainer
+from dsjax.train.metrics import CharErrorRate, WordErrorRate, update_batch
+
+
+def _pipelines(cfg: TrainConfig, labels: List[str], dp: int
+               ) -> Tuple[DataPipeline, DataPipeline]:
+    import jax
+
+    train_ds = SpectrogramDataset(cfg.data.spect, cfg.data.train_path, labels,
+                                  normalize=True, aug_cfg=cfg.data.augmentation,
+                                  seed=cfg.seed)
+    val_ds = SpectrogramDataset(cfg.data.spect, cfg.data.val_path, labels,
+                                normalize=True)
+    n_proc = jax.process_count()
+    if n_proc > 1:
+        train_sampler = DistributedBucketSampler(
+            len(train_ds), cfg.data.batch_size, seed=cfg.seed,
+            num_replicas=n_proc, rank=jax.process_index())
+    else:
+        train_sampler = BucketBatchSampler(len(train_ds), cfg.data.batch_size,
+                                           seed=cfg.seed)
+    val_sampler = OrderedBatchSampler(len(val_ds), cfg.data.batch_size, seed=cfg.seed)
+
+    pad_b = -(-cfg.data.batch_size // dp) * dp  # pad batch to dp multiple
+    mk = lambda ds, sampler: DataPipeline(
+        ds, sampler, bucket_frames=cfg.data.bucket_frames,
+        bucket_labels=cfg.data.bucket_labels,
+        num_workers=cfg.data.num_workers, prefetch=cfg.data.prefetch_batches,
+        pad_to_batch=pad_b)
+    return mk(train_ds, train_sampler), mk(val_ds, val_sampler)
+
+
+def train(cfg: TrainConfig) -> None:
+    """Full training workflow (reference: training.py:13-47)."""
+    np.random.seed(cfg.seed % (2 ** 32))
+    labels = load_labels(cfg.data.labels_path if os.path.isfile(cfg.data.labels_path)
+                         else None)
+    trainer = Trainer(cfg, labels)
+    ckpt_dir = cfg.checkpoint.dirpath or os.path.join(os.getcwd(), "checkpoints")
+    handler = CheckpointHandler(ckpt_dir, monitor=cfg.checkpoint.monitor,
+                                save_top_k=cfg.checkpoint.save_top_k,
+                                save_last=cfg.checkpoint.save_last,
+                                cfg=cfg, labels=labels,
+                                verbose=cfg.checkpoint.verbose)
+    state = trainer.init_state()
+    if cfg.load_auto_checkpoint:
+        latest = find_latest_checkpoint_dir(ckpt_dir)
+        if latest is not None:
+            try:
+                state = handler.restore(state, best=False)
+                print(f"auto-resumed from step {int(np.asarray(state.step))}")
+            except FileNotFoundError:
+                pass
+    train_pipe, val_pipe = _pipelines(cfg, labels, trainer.dp)
+    trainer.fit(train_pipe, val_pipe, checkpoint_handler=handler, state=state)
+    handler.close()
+
+
+def evaluate(cfg: EvalConfig) -> Tuple[float, float]:
+    """Evaluation workflow (reference: testing.py:12-50). Returns (wer, cer)."""
+    bundle = load_model(cfg.model.model_path, cfg.model.precision)
+    decoder = load_decoder(bundle.labels, cfg.lm)
+    target_decoder = load_decoder(bundle.labels, type(cfg.lm)())  # greedy
+    ds = SpectrogramDataset(bundle.spect_cfg, cfg.test_path, bundle.labels,
+                            normalize=True)
+    from dsjax.data.dataset import collate
+
+    wer, cer = WordErrorRate(), CharErrorRate()
+    batch_size = cfg.batch_size
+    for start in range(0, len(ds), batch_size):
+        samples = [ds[i] for i in range(start, min(start + batch_size, len(ds)))]
+        batch = collate(samples, bucket_frames=64)
+        probs, out_lens, _ = bundle.forward(batch.inputs, batch.input_lengths)
+        decoded, _ = decoder.decode(np.asarray(probs), np.asarray(out_lens))
+        refs = target_decoder.convert_to_strings(
+            [batch.targets[b, :batch.target_lengths[b]] for b in range(batch.size)])
+        transcripts = [d[0] for d in decoded]
+        references = [r[0] for r in refs]
+        update_batch(wer, cer, transcripts, references)
+        if cfg.verbose:
+            for t, r in zip(transcripts, references):
+                print(f"Ref:  {r}\nHyp:  {t}\n")
+    w, c = wer.compute(), cer.compute()
+    print(f"Test Summary \tAverage WER {w:.3f}\tAverage CER {c:.3f}")
+    return w, c
+
+
+def transcribe(cfg: TranscribeConfig) -> dict:
+    """Transcription workflow (reference: inference.py:44-76)."""
+    bundle = load_model(cfg.model.model_path, cfg.model.precision)
+    decoder = load_decoder(bundle.labels, cfg.lm)
+    decoded_output, decoded_offsets = run_transcribe(
+        audio_path=cfg.audio_path, bundle=bundle, decoder=decoder,
+        chunk_size_seconds=cfg.chunk_size_seconds)
+    results = decode_results(decoded_output, decoded_offsets,
+                             model_path=cfg.model.model_path, lm_cfg=cfg.lm,
+                             offsets=cfg.offsets, top_paths=cfg.lm.top_paths)
+    print(json.dumps(results))
+    return results
