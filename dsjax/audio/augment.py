@@ -112,7 +112,9 @@ def sparse_image_warp(image: np.ndarray, src_pts: np.ndarray, dst_pts: np.ndarra
         edge = np.asarray(edge)
         src = np.concatenate([src, edge], axis=0)
         dst = np.concatenate([dst, edge], axis=0)
-    flows = src - dst  # inverse-warp convention (TF sparse_image_warp)
+    # TF convention: flow(dst) = dst - src, and dense_image_warp samples
+    # out[loc] = img[loc - flow(loc)], so out[dst] = img[src].
+    flows = dst - src
     yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
     query = np.stack([yy.ravel(), xx.ravel()], axis=1)
     dense = interpolate_spline(dst, flows, query, order, regularization)
