@@ -1,0 +1,281 @@
+// CTC prefix beam search with optional n-gram LM fusion (native).
+//
+// Semantics match the Python reference implementation in
+// dsjax/decode/beam.py (which itself mirrors the external ctcdecode C++
+// package the reference wraps, reference: decoder.py:56-118): per-prefix
+// (p_blank, p_nonblank) log masses, candidate pruning by cutoff_top_n /
+// cutoff_prob, word-completion LM fusion alpha*ln P(w|h) + beta, trailing
+// word scored at finalization. Prefixes live in a trie so extension is O(1)
+// and word/history extraction walks parent pointers (no string churn).
+//
+// Exposed through a plain C ABI (ctypes-friendly, no pybind11).
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <limits>
+#include <memory>
+#include <string>
+#include <unordered_map>
+#include <vector>
+
+#include "lm.h"
+
+namespace dsjax {
+namespace {
+
+constexpr double kNegInf = -std::numeric_limits<double>::infinity();
+
+inline double logaddexp(double a, double b) {
+  if (a == kNegInf) return b;
+  if (b == kNegInf) return a;
+  double m = a > b ? a : b;
+  return m + std::log(std::exp(a - m) + std::exp(b - m));
+}
+
+struct TrieNode {
+  TrieNode* parent = nullptr;
+  int label = -1;       // label id of the edge from parent
+  int timestep = -1;    // frame at which this char was emitted
+  int depth = 0;
+  // children keyed by (label); small maps, use unordered_map
+  std::unordered_map<int, std::unique_ptr<TrieNode>> children;
+
+  TrieNode* child(int l, int t) {
+    auto it = children.find(l);
+    if (it != children.end()) return it->second.get();
+    auto node = std::make_unique<TrieNode>();
+    node->parent = this;
+    node->label = l;
+    node->timestep = t;
+    node->depth = depth + 1;
+    TrieNode* raw = node.get();
+    children.emplace(l, std::move(node));
+    return raw;
+  }
+};
+
+struct BeamScore {
+  double p_b = kNegInf;
+  double p_nb = kNegInf;
+  double total() const { return logaddexp(p_b, p_nb); }
+};
+
+struct Decoder {
+  std::vector<std::string> labels;
+  int blank;
+  int space;
+  const ArpaLM* lm = nullptr;  // borrowed
+
+  // Extract the last word ending at `node` (exclusive of the space at
+  // node itself) plus up to (order-1) history words, oldest first.
+  double lm_score(const TrieNode* node, double alpha, double beta) const {
+    if (!lm) return beta;
+    // collect labels back to root
+    std::vector<std::string> words;
+    std::string cur;
+    const TrieNode* p = node;
+    int needed = lm->order();  // last word + order-1 history
+    while (p && p->label >= 0 && (int)words.size() < needed + 1) {
+      if (p->label == space) {
+        if (!cur.empty()) {
+          std::reverse(cur.begin(), cur.end());
+          words.push_back(cur);
+          cur.clear();
+        }
+      } else {
+        // append utf-8 label reversed later; labels are usually 1 char
+        const std::string& s = labels[p->label];
+        for (auto it = s.rbegin(); it != s.rend(); ++it) cur.push_back(*it);
+      }
+      p = p->parent;
+    }
+    if (!cur.empty()) {
+      std::reverse(cur.begin(), cur.end());
+      words.push_back(cur);
+    }
+    if (words.empty()) return 0.0;
+    // words is newest-first; word to score = words[0], context = rest
+    std::vector<std::string> context(words.rbegin(), words.rend() - 1);
+    return alpha * lm->score_word_ln(context, words[0]) + beta;
+  }
+};
+
+struct Candidate {
+  TrieNode* node;
+  BeamScore score;
+};
+
+}  // namespace
+}  // namespace dsjax
+
+extern "C" {
+
+void* ds_lm_load(const char* path) {
+  auto* lm = new dsjax::ArpaLM(path);
+  if (!lm->ok()) {
+    delete lm;
+    return nullptr;
+  }
+  return lm;
+}
+
+void ds_lm_free(void* lm) { delete static_cast<dsjax::ArpaLM*>(lm); }
+
+double ds_lm_score_word(void* lm, const char** context, int n_context,
+                        const char* word) {
+  std::vector<std::string> ctx(context, context + n_context);
+  return static_cast<dsjax::ArpaLM*>(lm)->score_word(ctx, word);
+}
+
+void* ds_beam_create(const char** labels, int num_labels, int blank_index,
+                     int space_index, void* lm) {
+  auto* d = new dsjax::Decoder();
+  d->labels.assign(labels, labels + num_labels);
+  d->blank = blank_index;
+  d->space = space_index;
+  d->lm = static_cast<dsjax::ArpaLM*>(lm);
+  return d;
+}
+
+void ds_beam_free(void* decoder) { delete static_cast<dsjax::Decoder*>(decoder); }
+
+// Decode one utterance.
+//   probs: T x C row-major posteriors (softmax output)
+//   out_ids/out_offsets: [n_paths * max_len] flattened top-k sequences
+//   out_lens: [n_paths] per-path lengths; out_scores: [n_paths]
+// Returns number of paths written.
+int ds_beam_decode(void* decoder, const float* probs, int t_dim, int c_dim,
+                   double alpha, double beta, int beam_width,
+                   int cutoff_top_n, double cutoff_prob, int n_paths,
+                   int max_len, int* out_ids, int* out_offsets, int* out_lens,
+                   double* out_scores) {
+  using namespace dsjax;
+  auto* d = static_cast<Decoder*>(decoder);
+
+  TrieNode root;
+  std::unordered_map<TrieNode*, BeamScore> beams;
+  beams[&root] = BeamScore{0.0, kNegInf};
+
+  std::vector<int> order(c_dim);
+  std::vector<std::pair<TrieNode*, BeamScore>> ranked;
+  std::unordered_map<TrieNode*, BeamScore> next;
+
+  for (int t = 0; t < t_dim; ++t) {
+    const float* row = probs + (size_t)t * c_dim;
+    // candidate pruning
+    for (int c = 0; c < c_dim; ++c) order[c] = c;
+    std::sort(order.begin(), order.end(),
+              [&](int a, int b) { return row[a] > row[b]; });
+    int n_keep = c_dim;
+    if (cutoff_prob < 1.0) {
+      double cum = 0.0;
+      n_keep = 0;
+      for (int c = 0; c < c_dim; ++c) {
+        cum += row[order[c]];
+        ++n_keep;
+        if (cum >= cutoff_prob) break;
+      }
+    }
+    if (cutoff_top_n < n_keep) n_keep = cutoff_top_n;
+    if (n_keep < 1) n_keep = 1;
+
+    next.clear();
+    for (auto& kv : beams) {
+      TrieNode* prefix = kv.first;
+      const BeamScore& bs = kv.second;
+      double p_total = bs.total();
+      for (int ci = 0; ci < n_keep; ++ci) {
+        int c = order[ci];
+        double p_c = std::log(std::max((double)row[c], 1e-30));
+        if (c == d->blank) {
+          BeamScore& nb = next[prefix];
+          nb.p_b = logaddexp(nb.p_b, p_total + p_c);
+          continue;
+        }
+        int last = prefix->label;  // -1 at root
+        if (c == last) {
+          // repeat collapses into the same prefix...
+          BeamScore& nb = next[prefix];
+          nb.p_nb = logaddexp(nb.p_nb, bs.p_nb + p_c);
+          // ...or extends after a blank
+          double sc = bs.p_b + p_c;
+          if (sc != kNegInf) {
+            if (c == d->space) sc += d->lm_score(prefix, alpha, beta);
+            TrieNode* ext = prefix->child(c, t);
+            BeamScore& nb2 = next[ext];
+            nb2.p_nb = logaddexp(nb2.p_nb, sc);
+          }
+        } else {
+          double sc = p_total + p_c;
+          if (c == d->space) sc += d->lm_score(prefix, alpha, beta);
+          TrieNode* ext = prefix->child(c, t);
+          BeamScore& nb2 = next[ext];
+          nb2.p_nb = logaddexp(nb2.p_nb, sc);
+        }
+      }
+    }
+    // prune to beam width
+    ranked.assign(next.begin(), next.end());
+    int keep = std::min<int>(beam_width, (int)ranked.size());
+    std::partial_sort(ranked.begin(), ranked.begin() + keep, ranked.end(),
+                      [](const auto& a, const auto& b) {
+                        return a.second.total() > b.second.total();
+                      });
+    beams.clear();
+    for (int i = 0; i < keep; ++i) beams[ranked[i].first] = ranked[i].second;
+  }
+
+  // finalize: trailing-word LM score
+  std::vector<std::pair<TrieNode*, double>> final_ranked;
+  final_ranked.reserve(beams.size());
+  for (auto& kv : beams) {
+    double score = kv.second.total();
+    if (d->lm && kv.first->label >= 0 && kv.first->label != d->space)
+      score += d->lm_score(kv.first, alpha, beta);
+    final_ranked.emplace_back(kv.first, score);
+  }
+  std::sort(final_ranked.begin(), final_ranked.end(),
+            [](const auto& a, const auto& b) { return a.second > b.second; });
+
+  int written = std::min<int>(n_paths, (int)final_ranked.size());
+  for (int i = 0; i < written; ++i) {
+    TrieNode* node = final_ranked[i].first;
+    int depth = node->depth;
+    int len = std::min(depth, max_len);
+    out_lens[i] = len;
+    out_scores[i] = final_ranked[i].second;
+    // walk back filling reversed
+    int pos = depth - 1;
+    const TrieNode* p = node;
+    while (p && p->label >= 0) {
+      if (pos < len) {
+        out_ids[(size_t)i * max_len + pos] = p->label;
+        out_offsets[(size_t)i * max_len + pos] = p->timestep;
+      }
+      --pos;
+      p = p->parent;
+    }
+  }
+  return written;
+}
+
+// Levenshtein edit distance over int32 sequences (native twin of the
+// python-Levenshtein dependency, reference: validation.py:10).
+int ds_levenshtein(const int32_t* a, int n, const int32_t* b, int m) {
+  if (n < m) return ds_levenshtein(b, m, a, n);
+  std::vector<int> prev(m + 1), cur(m + 1);
+  for (int j = 0; j <= m; ++j) prev[j] = j;
+  for (int i = 1; i <= n; ++i) {
+    cur[0] = i;
+    for (int j = 1; j <= m; ++j) {
+      int sub = prev[j - 1] + (a[i - 1] != b[j - 1] ? 1 : 0);
+      cur[j] = std::min({prev[j] + 1, cur[j - 1] + 1, sub});
+    }
+    std::swap(prev, cur);
+  }
+  return prev[m];
+}
+
+}  // extern "C"

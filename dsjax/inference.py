@@ -36,17 +36,21 @@ class ModelBundle:
     spect_cfg: SpectConfig
 
     def __post_init__(self):
+        # variables ride as jit ARGUMENTS (closures would bake weights into
+        # the compiled program as constants)
         self._apply = jax.jit(
-            lambda v, x, lens, carry: self.model.apply(v, x, lens, carry, train=False),
-            static_argnames=())
+            lambda v, x, lens: self.model.apply(v, x, lens, train=False))
+        self._apply_carry = jax.jit(
+            lambda v, x, lens, carry: self.model.apply(v, x, lens, carry,
+                                                       train=False))
 
     def forward(self, spect: np.ndarray, lengths: np.ndarray, carry=None):
         """(B, F, T) -> (probs (B, T', C), out_lens, carry)."""
         x = jnp.asarray(spect)
         lens = jnp.asarray(lengths, jnp.int32)
         if carry is None:
-            return self.model.apply(self.variables, x, lens, train=False)
-        return self.model.apply(self.variables, x, lens, carry, train=False)
+            return self._apply(self.variables, x, lens)
+        return self._apply_carry(self.variables, x, lens, carry)
 
 
 def load_model(model_path: str, precision: int = 32) -> ModelBundle:

@@ -1,0 +1,71 @@
+"""Native (C++) extension tests: beam decoder parity vs the Python reference
+implementation, ARPA LM parity, Levenshtein."""
+
+import numpy as np
+import pytest
+
+cpp = pytest.importorskip("dsjax.cpp.beam_binding")
+
+from dsjax.decode.beam import BeamCTCDecoder  # noqa: E402
+from dsjax.decode.lm import ArpaLM  # noqa: E402
+
+from .test_decoders import ARPA, LABELS  # noqa: E402
+
+
+def _rand_probs(rng, t, c):
+    logits = rng.standard_normal((t, c)) * 2
+    p = np.exp(logits)
+    return (p / p.sum(-1, keepdims=True)).astype(np.float32)
+
+
+def test_levenshtein_native():
+    assert cpp.levenshtein([1, 2, 3], [1, 2, 3]) == 0
+    assert cpp.levenshtein([1, 2, 3], [2, 3]) == 1
+    assert cpp.levenshtein([], [1, 2]) == 2
+    assert cpp.levenshtein([5, 6], [7, 8, 9]) == 3
+
+
+def test_cpp_lm_matches_python(tmp_path):
+    p = tmp_path / "t.arpa"
+    p.write_text(ARPA)
+    py = ArpaLM(str(p))
+    native = cpp.CppLM(str(p))
+    cases = [("CAB", ["<s>"]), ("BAC", ["CAB"]), ("ZZZ", []), ("AB", ["CAB"]),
+             ("AB", ["<s>", "CAB"]), ("</s>", ["AB"])]
+    for word, ctx in cases:
+        np.testing.assert_allclose(native.score_word(word, ctx),
+                                   py.score_word(word, ctx), rtol=1e-6,
+                                   err_msg=f"{word}|{ctx}")
+
+
+@pytest.mark.parametrize("with_lm", [False, True])
+def test_cpp_beam_matches_python(tmp_path, with_lm):
+    lm_path = None
+    if with_lm:
+        p = tmp_path / "t.arpa"
+        p.write_text(ARPA)
+        lm_path = str(p)
+    rng = np.random.default_rng(9)
+    dec = BeamCTCDecoder(LABELS, lm_path=lm_path, alpha=1.0 if with_lm else 0.0,
+                         beta=0.5 if with_lm else 0.0, beam_width=8,
+                         cutoff_top_n=len(LABELS))
+    assert dec._cpp is not None, "native decoder should have built"
+    for trial in range(4):
+        probs = _rand_probs(rng, 12, len(LABELS))
+        cpp_hyps = dec._cpp.decode(probs, dec.alpha, dec.beta, dec.beam_width,
+                                   dec.cutoff_top_n, dec.cutoff_prob)
+        py_hyps = dec._decode_one(probs)
+        # top hypothesis must match in labels and score
+        assert cpp_hyps[0][0] == py_hyps[0][0], f"trial {trial}"
+        np.testing.assert_allclose(cpp_hyps[0][2], py_hyps[0][2], rtol=1e-5)
+        # full beam label sets should agree
+        assert {h[0] for h in cpp_hyps[:5]} == {h[0] for h in py_hyps[:5]}
+
+
+def test_decode_api_uses_native():
+    rng = np.random.default_rng(3)
+    dec = BeamCTCDecoder(LABELS, beam_width=8, cutoff_top_n=len(LABELS))
+    probs = _rand_probs(rng, 10, len(LABELS))[None]
+    strings, offsets = dec.decode(probs)
+    assert isinstance(strings[0][0], str)
+    assert len(offsets[0][0]) == len(strings[0][0])
