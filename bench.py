@@ -4,14 +4,21 @@
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
 
-Measures end-to-end training utterances/sec on the DeepSpeech2 flagship
-config (2xconv + 5xBiLSTM-1024, bf16, CTC, AdamW, clip 400) with
-LibriSpeech-like shapes (batch 32, ~15s utterances at 10ms hop). The
-baseline for vs_baseline is the reference's published number — none exists
-in-tree (BASELINE.md) — so we anchor on the driver north star's A100 figure
-once measured; until then vs_baseline is reported against a conservative
-estimate of the reference stack's A100 throughput for this config
-(~90 utt/s at batch 32, cuDNN LSTM bound).
+Measures end-to-end training step time for the DeepSpeech2 flagship config
+(2xconv + 5xBiLSTM-1024, bf16 compute, on-device CTC, AdamW + clip 400)
+with LibriSpeech-like shapes (batch 32, ~10s utterances).
+
+Methodology: the local TPU is reached through a tunnel whose per-call input
+transfer dominates wall-clock and whose block_until_ready is asynchronous,
+so naive step timing is meaningless. Instead the ENTIRE benchmark is one
+jitted program per N: parameters and a synthetic batch are generated
+on-device from a seed, N training steps run under lax.scan, and the final
+loss scalar is fetched (a sync point). Per-step time = (t(N2) - t(N1)) /
+(N2 - N1), which cancels the constant upload/compile/latency overhead.
+
+vs_baseline anchors on a conservative estimate of the reference stack's
+throughput for this config on A100 (~90 utt/s at batch 32, cuDNN LSTM
+bound); the reference publishes no numbers in-tree (see BASELINE.md).
 """
 
 import json
@@ -20,47 +27,84 @@ import time
 import numpy as np
 
 
-def main():
+def build_program(n_steps: int):
     import jax
     import jax.numpy as jnp
 
     from dsjax.config import TrainConfig, compose
-    from dsjax.data.dataset import Batch
     from dsjax.labels import DEFAULT_LABELS
-    from dsjax.train.loop import Trainer
+    from dsjax.model.ctc import ctc_loss
+    from dsjax.model.ds2 import DeepSpeech2
+    from dsjax.train.state import TrainState, epoch_lr, make_optimizer, set_lr
 
     cfg = compose(TrainConfig, [
         "model.hidden_size=1024",
         "model.hidden_layers=5",
         "trainer.precision=16",
-        "data.batch_size=32",
     ])
-    trainer = Trainer(cfg, DEFAULT_LABELS)
-    state = trainer.init_state()
+    model = DeepSpeech2(num_classes=len(DEFAULT_LABELS), spect_cfg=cfg.data.spect,
+                        model_cfg=cfg.model, dtype=jnp.bfloat16)
+    tx = make_optimizer(cfg.optim, cfg.trainer)
 
-    rng = np.random.default_rng(0)
-    b, f, t = 32, 161, 1024  # ~10.2s of audio per utterance at 10ms hop
-    max_label = 256
-    inputs = rng.standard_normal((b, f, t)).astype(np.float32)
-    input_lengths = rng.integers(t // 2, t + 1, size=b).astype(np.int32)
-    input_lengths[0] = t
-    targets = rng.integers(1, len(DEFAULT_LABELS), size=(b, max_label)).astype(np.int32)
-    target_lengths = rng.integers(max_label // 2, max_label + 1, size=b).astype(np.int32)
-    batch = Batch(inputs, input_lengths, targets, target_lengths,
-                  input_lengths.astype(np.float32) / t)
+    B, F, T, L = 32, 161, 1024, 256
+    C = len(DEFAULT_LABELS)
 
-    # warmup / compile
-    state, loss = trainer.train_step(state, batch)
-    jax.block_until_ready(loss)
+    def program(seed):
+        rng = jax.random.PRNGKey(seed)
+        k_init, k_x, k_t = jax.random.split(rng, 3)
+        inputs = jax.random.normal(k_x, (B, F, T), jnp.float32)
+        input_lengths = jnp.full((B,), T, jnp.int32)
+        targets = jax.random.randint(k_t, (B, L), 1, C, jnp.int32)
+        target_lengths = jnp.full((B,), L, jnp.int32)
+        variables = model.init(k_init, inputs, input_lengths, train=False)
+        state = TrainState(params=variables["params"],
+                           batch_stats=variables.get("batch_stats", {}),
+                           opt_state=tx.init(variables["params"]),
+                           step=jnp.zeros((), jnp.int32),
+                           epoch=jnp.zeros((), jnp.int32))
 
-    n_steps = 10
+        def one_step(state, _):
+            def loss_fn(params):
+                (out, out_lens, _), mut = model.apply(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    inputs, input_lengths, train=True, mutable=["batch_stats"])
+                logp = jax.nn.log_softmax(out.astype(jnp.float32), axis=-1)
+                loss = ctc_loss(logp, out_lens, targets, target_lengths,
+                                reduction="sum")
+                return loss, mut["batch_stats"]
+
+            (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+            opt_state = set_lr(state.opt_state, epoch_lr(cfg.optim, state.epoch))
+            updates, opt_state = tx.update(grads, opt_state, state.params)
+            params = jax.tree_util.tree_map(lambda p, u: p + u, state.params, updates)
+            return TrainState(params, stats, opt_state, state.step + 1,
+                              state.epoch), loss
+
+        state, losses = jax.lax.scan(one_step, state, None, length=n_steps)
+        return losses[-1]
+
+    return jax.jit(program), B
+
+
+def timed_run(fn, seed) -> float:
     t0 = time.perf_counter()
-    for _ in range(n_steps):
-        state, loss = trainer.train_step(state, batch)
-    jax.block_until_ready(loss)
-    dt = time.perf_counter() - t0
+    v = float(fn(seed))  # scalar fetch = sync point
+    t1 = time.perf_counter()
+    assert np.isfinite(v), f"non-finite loss {v}"
+    return t1 - t0
 
-    utt_per_sec = b * n_steps / dt
+
+def main():
+    n1, n2 = 2, 12
+    f1, batch = build_program(n1)
+    f2, _ = build_program(n2)
+    # warm both compiles
+    timed_run(f1, 0)
+    timed_run(f2, 0)
+    t_short = min(timed_run(f1, i + 1) for i in range(2))
+    t_long = min(timed_run(f2, i + 1) for i in range(2))
+    step_time = max((t_long - t_short) / (n2 - n1), 1e-6)
+    utt_per_sec = batch / step_time
     baseline_a100_utt_s = 90.0  # see module docstring
     print(json.dumps({
         "metric": "train_throughput_ds2_5x1024_b32_t1024",

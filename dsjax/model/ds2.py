@@ -179,6 +179,17 @@ class RecurrentLayer(nn.Module):
     rnn_type: RNNType = RNNType.lstm
     bidirectional: bool = True
     dtype: Any = jnp.float32
+    # None = auto (Pallas fused scan on TPU for LSTM); True/False force
+    use_pallas: Optional[bool] = None
+
+    def _pallas_enabled(self) -> bool:
+        if self.rnn_type != RNNType.lstm:
+            return False
+        if self.use_pallas is not None:
+            return self.use_pallas
+        import jax as _jax
+
+        return _jax.default_backend() == "tpu"
 
     @nn.compact
     def __call__(self, x: Array, lengths: Array,
@@ -189,6 +200,8 @@ class RecurrentLayer(nn.Module):
         t_dim, b_dim = x.shape[0], x.shape[1]
         h_sz, g = self.hidden_size, spec.gates
         init = _uniform_init(h_sz)
+        pallas_ok = (self._pallas_enabled()
+                     and h_sz % 128 == 0 and b_dim % 8 == 0)
 
         def direction(name: str, xd: Array, carry0: Tuple[Array, ...]) -> Tuple[Array, Tuple[Array, ...]]:
             w_ih = self.param(f"{name}_w_ih", init, (self.input_size, g * h_sz))
@@ -203,6 +216,14 @@ class RecurrentLayer(nn.Module):
             mask = (jnp.arange(t_dim)[:, None] < lengths[None, :]).astype(dt)  # (T, B)
             w_hh_c = w_hh.astype(dt)
             b_hh_c = b_hh.astype(dt)
+
+            if spec.kind == RNNType.lstm and pallas_ok:
+                from dsjax.ops.lstm_pallas import lstm_scan
+
+                carry0 = tuple(c.astype(dt) for c in carry0)
+                y, h_t, c_t = lstm_scan(xp, mask.astype(jnp.float32),
+                                        w_hh_c, b_hh_c, carry0[0], carry0[1])
+                return y, (h_t, c_t)
 
             if spec.kind == RNNType.lstm:
                 def step(carry, inp):
@@ -312,6 +333,7 @@ class DeepSpeech2(nn.Module):
     spect_cfg: SpectConfig
     model_cfg: BiDirectionalConfig
     dtype: Any = jnp.float32
+    use_pallas: Optional[bool] = None  # None = auto (fused LSTM scan on TPU)
 
     @property
     def bidirectional(self) -> bool:
@@ -344,7 +366,8 @@ class DeepSpeech2(nn.Module):
                 input_size=in_size, hidden_size=h,
                 rnn_type=self.model_cfg.rnn_type,
                 bidirectional=self.bidirectional,
-                dtype=self.dtype, name=f"rnn{i}")(x, out_lengths, layer_carry)
+                dtype=self.dtype, use_pallas=self.use_pallas,
+                name=f"rnn{i}")(x, out_lengths, layer_carry)
             new_carry.append(c)
             in_size = h
 

@@ -1,0 +1,382 @@
+"""Fused LSTM time-scan as a Pallas TPU kernel.
+
+Motivation (replacing the cuDNN LSTM the reference leans on,
+reference model.py:87-98): the recurrent half of an LSTM layer is a strict
+sequential scan of small matmuls h_{t-1} @ W_hh. Under XLA's `lax.scan` the
+loop-invariant W_hh (H x 4H, 8 MB in bf16 at H=1024) is re-streamed from HBM
+into VMEM on EVERY timestep, so the scan is HBM-bandwidth-bound. This kernel
+pins W_hh (and the bias) in VMEM for the whole sequence and DMAs only the
+per-step activations (~0.3 MB/step), making the recurrence compute-bound.
+
+Layout/contract (matches dsjax.model.ds2.RecurrentLayer's inner scan):
+  xp:   (T, B, 4H)  precomputed input projections + b_ih (time-major)
+  w_hh: (H, 4H)     recurrent weights, gate order i, f, g, o
+  b_hh: (4H,)       recurrent bias
+  mask: (T, B)      1.0 where t < length
+  h0/c0:(B, H)      initial carry
+Returns (y (T, B, H) masked outputs, h_T, c_T); the carry freezes at each
+sequence's true end (chunked-streaming semantics, reference
+inference.py:86-96).
+
+Backward: custom VJP. A reverse-scan Pallas kernel re-materializes gates
+from the saved (y, c) trajectories (recompute beats storing (T, B, 4H)
+activations) and emits dgates; dgates IS dxp, and dW/db reduce outside the
+kernel as one large MXU matmul over (T*B) rows — keeping the kernel's VMEM
+footprint to W plus small staging buffers. Gradient parity is tested against
+jax.grad of the lax.scan reference implementation.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+
+def _cell_f32(gates, c_prev):
+    i, f, g, o = jnp.split(gates, 4, axis=-1)
+    i = jax.nn.sigmoid(i)
+    f = jax.nn.sigmoid(f)
+    o = jax.nn.sigmoid(o)
+    g = jnp.tanh(g)
+    c = f * c_prev + i * g
+    h = o * jnp.tanh(c)
+    return h, c
+
+
+# ---------------------------------------------------------------------------
+# forward kernel
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(xp_hbm, mask_ref, w_ref, b_ref, h0_ref, c0_ref,
+                y_hbm, h_out_ref, c_out_ref, c_seq_hbm,
+                xp_buf, y_buf, c_buf, h_scr, c_scr,
+                in_sem, ysem, csem):
+    t_dim = xp_hbm.shape[0]
+    w = w_ref[:]
+    b32 = b_ref[:].astype(jnp.float32)
+    h_scr[:] = h0_ref[:]
+    c_scr[:] = c0_ref[:]
+    n_buf = 2
+
+    def in_copy(t, slot):
+        return pltpu.make_async_copy(xp_hbm.at[t], xp_buf.at[slot],
+                                     in_sem.at[slot])
+
+    in_copy(0, 0).start()
+
+    def step(t, _):
+        slot = jax.lax.rem(t, n_buf)
+        nxt = jax.lax.rem(t + 1, n_buf)
+
+        @pl.when(t + 1 < t_dim)
+        def _():
+            in_copy(t + 1, nxt).start()
+
+        in_copy(t, slot).wait()
+
+        h = h_scr[:]
+        c = c_scr[:]
+        gates = (jnp.dot(h, w, preferred_element_type=jnp.float32)
+                 + xp_buf[slot].astype(jnp.float32) + b32)
+        h_new, c_new = _cell_f32(gates, c.astype(jnp.float32))
+        m = mask_ref[t][:, None].astype(jnp.float32)
+        h_keep = m * h_new + (1 - m) * h.astype(jnp.float32)
+        c_keep = m * c_new + (1 - m) * c.astype(jnp.float32)
+        h_scr[:] = h_keep.astype(h_scr.dtype)
+        c_scr[:] = c_keep.astype(c_scr.dtype)
+
+        # wait for the previous DMA using this output slot, then overwrite
+        @pl.when(t >= n_buf)
+        def _():
+            pltpu.make_async_copy(y_buf.at[slot], y_hbm.at[t - n_buf],
+                                  ysem.at[slot]).wait()
+            pltpu.make_async_copy(c_buf.at[slot], c_seq_hbm.at[t - n_buf],
+                                  csem.at[slot]).wait()
+
+        y_buf[slot] = (h_new * m).astype(y_buf.dtype)
+        c_buf[slot] = c_keep.astype(c_buf.dtype)
+        pltpu.make_async_copy(y_buf.at[slot], y_hbm.at[t], ysem.at[slot]).start()
+        pltpu.make_async_copy(c_buf.at[slot], c_seq_hbm.at[t], csem.at[slot]).start()
+        return 0
+
+    jax.lax.fori_loop(0, t_dim, step, 0)
+
+    # drain outstanding output DMAs
+    def drain(i, _):
+        t = t_dim - n_buf + i
+
+        @pl.when(t >= 0)
+        def _():
+            slot = jax.lax.rem(t, n_buf)
+            pltpu.make_async_copy(y_buf.at[slot], y_hbm.at[t], ysem.at[slot]).wait()
+            pltpu.make_async_copy(c_buf.at[slot], c_seq_hbm.at[t], csem.at[slot]).wait()
+        return 0
+
+    jax.lax.fori_loop(0, n_buf, drain, 0)
+    h_out_ref[:] = h_scr[:]
+    c_out_ref[:] = c_scr[:]
+
+
+def _lstm_fwd_pallas(xp: Array, mask: Array, w_hh: Array, b_hh: Array,
+                     h0: Array, c0: Array, interpret: bool
+                     ) -> Tuple[Array, Array, Array, Array]:
+    t_dim, b_dim, g4 = xp.shape
+    h_dim = w_hh.shape[0]
+    dtype = xp.dtype
+    out_shapes = (
+        jax.ShapeDtypeStruct((t_dim, b_dim, h_dim), dtype),   # y
+        jax.ShapeDtypeStruct((b_dim, h_dim), dtype),          # h_T
+        jax.ShapeDtypeStruct((b_dim, h_dim), dtype),          # c_T
+        jax.ShapeDtypeStruct((t_dim, b_dim, h_dim), dtype),   # c trajectory
+    )
+    return pl.pallas_call(
+        _fwd_kernel,
+        out_shape=out_shapes,
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),     # xp stays in HBM
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # mask
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # w_hh pinned
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # b_hh
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # h0
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # c0
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, b_dim, g4), dtype),        # xp staging
+            pltpu.VMEM((2, b_dim, h_dim), dtype),     # y staging
+            pltpu.VMEM((2, b_dim, h_dim), dtype),     # c staging
+            pltpu.VMEM((b_dim, h_dim), dtype),        # h carry
+            pltpu.VMEM((b_dim, h_dim), dtype),        # c carry
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(xp, mask, w_hh, b_hh, h0, c0)
+
+
+# ---------------------------------------------------------------------------
+# backward kernel: reverse scan emitting dgates (== dxp)
+# ---------------------------------------------------------------------------
+
+def _bwd_kernel(xp_hbm, mask_ref, w_ref, b_ref, h0_ref, c0_ref,
+                y_hbm, c_seq_hbm, dy_hbm, dh_T_ref, dc_T_ref,
+                dg_hbm, dh0_ref, dc0_ref,
+                xp_buf, y_buf, c_buf, dy_buf, dg_buf,
+                dh_scr, dc_scr,
+                xsem, ysem, csem, dysem, dgsem):
+    t_dim = xp_hbm.shape[0]
+    w32 = w_ref[:].astype(jnp.float32)
+    b32 = b_ref[:].astype(jnp.float32)
+    dh_scr[:] = dh_T_ref[:].astype(jnp.float32)
+    dc_scr[:] = dc_T_ref[:].astype(jnp.float32)
+    n_buf = 2
+
+    def start_loads(t, slot):
+        tm1 = jnp.maximum(t - 1, 0)
+        pltpu.make_async_copy(xp_hbm.at[t], xp_buf.at[slot], xsem.at[slot]).start()
+        pltpu.make_async_copy(dy_hbm.at[t], dy_buf.at[slot], dysem.at[slot]).start()
+        # previous-step trajectories (garbage at t=0; selected out below)
+        pltpu.make_async_copy(y_hbm.at[tm1], y_buf.at[slot], ysem.at[slot]).start()
+        pltpu.make_async_copy(c_seq_hbm.at[tm1], c_buf.at[slot], csem.at[slot]).start()
+
+    def wait_loads(slot):
+        for buf, sem in ((xp_buf, xsem), (dy_buf, dysem), (y_buf, ysem),
+                         (c_buf, csem)):
+            pltpu.make_async_copy(buf.at[slot], buf.at[slot], sem.at[slot]).wait()
+
+    start_loads(t_dim - 1, (t_dim - 1) % n_buf)
+
+    def step(i, _):
+        t = t_dim - 1 - i
+        slot = jax.lax.rem(t, n_buf)
+
+        @pl.when(t - 1 >= 0)
+        def _():
+            start_loads(t - 1, jax.lax.rem(t - 1, n_buf))
+
+        wait_loads(slot)
+
+        is_first = (t == 0)
+        h_prev = jnp.where(is_first, h0_ref[:], y_buf[slot]).astype(jnp.float32)
+        cp = jnp.where(is_first, c0_ref[:], c_buf[slot]).astype(jnp.float32)
+
+        gates = (jax.lax.dot_general(
+                     h_prev.astype(w_ref.dtype), w_ref[:],
+                     (((1,), (0,)), ((), ())),
+                     preferred_element_type=jnp.float32)
+                 + xp_buf[slot].astype(jnp.float32) + b32)
+        gi, gf, gg, go = jnp.split(gates, 4, axis=-1)
+        i_s = jax.nn.sigmoid(gi)
+        f_s = jax.nn.sigmoid(gf)
+        o_s = jax.nn.sigmoid(go)
+        g_t = jnp.tanh(gg)
+        c_new = f_s * cp + i_s * g_t
+        tanh_c = jnp.tanh(c_new)
+
+        m = mask_ref[t][:, None].astype(jnp.float32)
+        dh_acc = dh_scr[:] + dy_buf[slot].astype(jnp.float32) * m
+        dc_acc = dc_scr[:]
+        dh_new = dh_acc * m
+        dc_new = dc_acc * m
+
+        do = dh_new * tanh_c
+        dc_t = dc_new + dh_new * o_s * (1 - tanh_c * tanh_c)
+        dgi = (dc_t * g_t) * i_s * (1 - i_s)
+        dgf = (dc_t * cp) * f_s * (1 - f_s)
+        dgo = do * o_s * (1 - o_s)
+        dgg = (dc_t * i_s) * (1 - g_t * g_t)
+        dgates = jnp.concatenate([dgi, dgf, dgg, dgo], axis=-1)
+
+        # dh_prev via W^T; dW/db are reduced OUTSIDE the kernel from dgates
+        dh_prev = jax.lax.dot_general(dgates, w32, (((1,), (1,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+        dh_scr[:] = dh_prev + dh_acc * (1 - m)
+        dc_scr[:] = dc_t * f_s + dc_acc * (1 - m)
+
+        @pl.when(i >= n_buf)
+        def _():
+            t_old = t + n_buf
+            pltpu.make_async_copy(dg_buf.at[slot], dg_hbm.at[t_old],
+                                  dgsem.at[slot]).wait()
+
+        dg_buf[slot] = dgates.astype(dg_buf.dtype)
+        pltpu.make_async_copy(dg_buf.at[slot], dg_hbm.at[t], dgsem.at[slot]).start()
+        return 0
+
+    jax.lax.fori_loop(0, t_dim, step, 0)
+
+    def drain(j, _):
+        t = j
+
+        @pl.when(t < jnp.minimum(n_buf, t_dim))
+        def _():
+            slot = jax.lax.rem(t, n_buf)
+            pltpu.make_async_copy(dg_buf.at[slot], dg_hbm.at[t],
+                                  dgsem.at[slot]).wait()
+        return 0
+
+    jax.lax.fori_loop(0, n_buf, drain, 0)
+    dh0_ref[:] = dh_scr[:].astype(dh0_ref.dtype)
+    dc0_ref[:] = dc_scr[:].astype(dc0_ref.dtype)
+
+
+def _lstm_bwd_pallas(xp, mask, w_hh, b_hh, h0, c0, y, c_seq, dy, dh_T, dc_T,
+                     interpret):
+    t_dim, b_dim, g4 = xp.shape
+    h_dim = w_hh.shape[0]
+    dtype = xp.dtype
+    out_shapes = (
+        jax.ShapeDtypeStruct((t_dim, b_dim, g4), jnp.float32),  # dgates
+        jax.ShapeDtypeStruct((b_dim, h_dim), dtype),            # dh0
+        jax.ShapeDtypeStruct((b_dim, h_dim), dtype),            # dc0
+    )
+    return pl.pallas_call(
+        _bwd_kernel,
+        out_shape=out_shapes,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),    # xp
+                  pl.BlockSpec(memory_space=pltpu.VMEM),   # mask
+                  pl.BlockSpec(memory_space=pltpu.VMEM),   # w
+                  pl.BlockSpec(memory_space=pltpu.VMEM),   # b
+                  pl.BlockSpec(memory_space=pltpu.VMEM),   # h0
+                  pl.BlockSpec(memory_space=pltpu.VMEM),   # c0
+                  pl.BlockSpec(memory_space=pl.ANY),    # y
+                  pl.BlockSpec(memory_space=pl.ANY),    # c_seq
+                  pl.BlockSpec(memory_space=pl.ANY),    # dy
+                  pl.BlockSpec(memory_space=pltpu.VMEM),   # dh_T
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],  # dc_T
+        out_specs=(pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM)),
+        scratch_shapes=[
+            pltpu.VMEM((2, b_dim, g4), dtype),          # xp staging
+            pltpu.VMEM((2, b_dim, h_dim), dtype),       # y staging
+            pltpu.VMEM((2, b_dim, h_dim), dtype),       # c staging
+            pltpu.VMEM((2, b_dim, h_dim), dtype),       # dy staging
+            pltpu.VMEM((2, b_dim, g4), jnp.float32),    # dgates staging
+            pltpu.VMEM((b_dim, h_dim), jnp.float32),    # dh carry
+            pltpu.VMEM((b_dim, h_dim), jnp.float32),    # dc carry
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(xp, mask, w_hh, b_hh, h0, c0, y, c_seq, dy, dh_T, dc_T)
+
+
+# ---------------------------------------------------------------------------
+# public op with custom VJP
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def lstm_scan(xp: Array, mask: Array, w_hh: Array, b_hh: Array,
+              h0: Array, c0: Array, interpret: bool = False
+              ) -> Tuple[Array, Array, Array]:
+    """Masked LSTM recurrence over time. Returns (y, h_T, c_T)."""
+    y, h_t, c_t, _ = _lstm_fwd_pallas(xp, mask, w_hh, b_hh, h0, c0, interpret)
+    return y, h_t, c_t
+
+
+def _vjp_fwd(xp, mask, w_hh, b_hh, h0, c0, interpret):
+    y, h_t, c_t, c_seq = _lstm_fwd_pallas(xp, mask, w_hh, b_hh, h0, c0, interpret)
+    residuals = (xp, mask, w_hh, b_hh, h0, c0, y, c_seq)
+    return (y, h_t, c_t), residuals
+
+
+def _vjp_bwd(interpret, residuals, cotangents):
+    xp, mask, w_hh, b_hh, h0, c0, y, c_seq = residuals
+    dy, dh_T, dc_T = cotangents
+    dgates, dh0, dc0 = _lstm_bwd_pallas(
+        xp, mask, w_hh, b_hh, h0, c0, y, c_seq,
+        dy.astype(xp.dtype), dh_T.astype(h0.dtype), dc_T.astype(c0.dtype),
+        interpret)
+    # dW/db as ONE large MXU reduction over (T*B) rows; h_prev sequence is
+    # (h0, y[:-1]) — y equals the carried h at every step where dgates != 0.
+    t_dim, b_dim, g4 = dgates.shape
+    h_prev = jnp.concatenate([h0[None], y[:-1]], axis=0)
+    dw = jax.lax.dot_general(
+        h_prev.reshape(t_dim * b_dim, -1).astype(jnp.float32),
+        dgates.reshape(t_dim * b_dim, g4),
+        (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    db = jnp.sum(dgates, axis=(0, 1))
+    dxp = dgates.astype(xp.dtype)
+    return (dxp, None, dw.astype(w_hh.dtype), db.astype(b_hh.dtype),
+            dh0, dc0)
+
+
+lstm_scan.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def lstm_scan_reference(xp, mask, w_hh, b_hh, h0, c0):
+    """lax.scan twin used for parity tests and as a non-Pallas fallback."""
+    dtype = xp.dtype
+
+    def step(carry, inp):
+        h, c = carry
+        xp_t, m = inp
+        gates = (xp_t.astype(jnp.float32)
+                 + jnp.dot(h, w_hh, preferred_element_type=jnp.float32)
+                 + b_hh.astype(jnp.float32))
+        h_new, c_new = _cell_f32(gates, c.astype(jnp.float32))
+        m1 = m[:, None].astype(jnp.float32)
+        h = (m1 * h_new + (1 - m1) * h.astype(jnp.float32)).astype(dtype)
+        c = (m1 * c_new + (1 - m1) * c.astype(jnp.float32)).astype(dtype)
+        return (h, c), (h_new * m1).astype(dtype)
+
+    (h_t, c_t), y = jax.lax.scan(step, (h0, c0), (xp, mask))
+    return y, h_t, c_t

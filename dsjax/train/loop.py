@@ -186,31 +186,47 @@ class Trainer:
 
     def fit(self, train_pipeline, val_pipeline, checkpoint_handler=None,
             state: Optional[TrainState] = None,
-            log_fn: Callable[[str], None] = print) -> TrainState:
+            log_fn: Callable[[str], None] = print,
+            metrics_logger=None) -> TrainState:
+        from dsjax.train.logging import StepTimer
+
         cfg = self.cfg
         state = state if state is not None else self.init_state()
         start_epoch = int(np.asarray(state.epoch))
         n_train = _limit(len(train_pipeline), cfg.trainer.limit_train_batches)
         n_val = _limit(len(val_pipeline), cfg.trainer.limit_val_batches)
+        timer = StepTimer()
         for epoch in range(start_epoch, cfg.trainer.max_epochs):
             train_pipeline.sampler.set_epoch(epoch)
             state = state.replace(epoch=jnp.asarray(epoch, jnp.int32))
             state = self.shard_state(state)
             t0 = time.time()
             losses = []
+            timer.start()
             for i, batch in enumerate(train_pipeline):
                 if i >= n_train:
                     break
                 state, loss = self.train_step(state, batch)
-                if (i + 1) % max(1, cfg.trainer.log_every_n_steps) == 0:
-                    log_fn(f"epoch {epoch} step {i + 1}/{n_train} "
-                           f"loss {float(loss):.3f}")
                 losses.append(loss)
+                if (i + 1) % max(1, cfg.trainer.log_every_n_steps) == 0:
+                    loss_val = float(loss)  # device sync only when logging
+                    timer.tick(batch.size * max(1, cfg.trainer.log_every_n_steps))
+                    log_fn(f"epoch {epoch} step {i + 1}/{n_train} "
+                           f"loss {loss_val:.3f} "
+                           f"({timer.utterances_per_sec:.1f} utt/s)")
+                    if metrics_logger is not None:
+                        metrics_logger.log(int(np.asarray(state.step)),
+                                           loss=loss_val,
+                                           utt_per_sec=timer.utterances_per_sec,
+                                           epoch=epoch)
             train_time = time.time() - t0
             mean_loss = float(np.mean([float(l) for l in losses])) if losses else 0.0
             wer, cer = self.validate(state, val_pipeline, max_batches=n_val)
             log_fn(f"epoch {epoch}: loss {mean_loss:.3f} "
                    f"wer {wer:.2f} cer {cer:.2f} ({train_time:.1f}s)")
+            if metrics_logger is not None:
+                metrics_logger.log(int(np.asarray(state.step)), wer=wer, cer=cer,
+                                   mean_loss=mean_loss, epoch=epoch)
             if checkpoint_handler is not None and cfg.trainer.enable_checkpointing:
                 checkpoint_handler.save(state, {"wer": wer, "cer": cer,
                                                 "loss": mean_loss, "epoch": epoch})
