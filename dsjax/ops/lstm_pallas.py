@@ -60,8 +60,7 @@ def _fwd_kernel(xp_hbm, mask_ref, w_ref, b_ref, h0_ref, c0_ref,
                 xp_buf, y_buf, c_buf, h_scr, c_scr,
                 in_sem, ysem, csem):
     t_dim = xp_hbm.shape[0]
-    w = w_ref[:]
-    b32 = b_ref[:].astype(jnp.float32)
+    h_dim = w_ref.shape[0]
     h_scr[:] = h0_ref[:]
     c_scr[:] = c0_ref[:]
     n_buf = 2
@@ -84,9 +83,22 @@ def _fwd_kernel(xp_hbm, mask_ref, w_ref, b_ref, h0_ref, c0_ref,
 
         h = h_scr[:]
         c = c_scr[:]
-        gates = (jnp.dot(h, w, preferred_element_type=jnp.float32)
-                 + xp_buf[slot].astype(jnp.float32) + b32)
-        h_new, c_new = _cell_f32(gates, c.astype(jnp.float32))
+
+        # per-gate matmuls keep live f32 temporaries at (B, H) instead of
+        # (B, 4H), fitting VMEM alongside the pinned W
+        def gate(g):
+            z = jnp.dot(h, w_ref[:, g * h_dim:(g + 1) * h_dim],
+                        preferred_element_type=jnp.float32)
+            z = (z + xp_buf[slot][:, g * h_dim:(g + 1) * h_dim].astype(jnp.float32)
+                 + b_ref[g * h_dim:(g + 1) * h_dim].astype(jnp.float32))
+            return z
+
+        i_s = jax.nn.sigmoid(gate(0))
+        f_s = jax.nn.sigmoid(gate(1))
+        g_t = jnp.tanh(gate(2))
+        o_s = jax.nn.sigmoid(gate(3))
+        c_new = f_s * c.astype(jnp.float32) + i_s * g_t
+        h_new = o_s * jnp.tanh(c_new)
         m = mask_ref[t][:, None].astype(jnp.float32)
         h_keep = m * h_new + (1 - m) * h.astype(jnp.float32)
         c_keep = m * c_new + (1 - m) * c.astype(jnp.float32)
@@ -179,8 +191,6 @@ def _bwd_kernel(xp_hbm, mask_ref, w_ref, b_ref, h0_ref, c0_ref,
                 dh_scr, dc_scr,
                 xsem, ysem, csem, dysem, dgsem):
     t_dim = xp_hbm.shape[0]
-    w32 = w_ref[:].astype(jnp.float32)
-    b32 = b_ref[:].astype(jnp.float32)
     dh_scr[:] = dh_T_ref[:].astype(jnp.float32)
     dc_scr[:] = dc_T_ref[:].astype(jnp.float32)
     n_buf = 2
@@ -211,19 +221,21 @@ def _bwd_kernel(xp_hbm, mask_ref, w_ref, b_ref, h0_ref, c0_ref,
         wait_loads(slot)
 
         is_first = (t == 0)
-        h_prev = jnp.where(is_first, h0_ref[:], y_buf[slot]).astype(jnp.float32)
+        h_prev = jnp.where(is_first, h0_ref[:], y_buf[slot])
         cp = jnp.where(is_first, c0_ref[:], c_buf[slot]).astype(jnp.float32)
+        h_dim = w_ref.shape[0]
 
-        gates = (jax.lax.dot_general(
-                     h_prev.astype(w_ref.dtype), w_ref[:],
-                     (((1,), (0,)), ((), ())),
-                     preferred_element_type=jnp.float32)
-                 + xp_buf[slot].astype(jnp.float32) + b32)
-        gi, gf, gg, go = jnp.split(gates, 4, axis=-1)
-        i_s = jax.nn.sigmoid(gi)
-        f_s = jax.nn.sigmoid(gf)
-        o_s = jax.nn.sigmoid(go)
-        g_t = jnp.tanh(gg)
+        # per-gate recompute (see forward kernel for the VMEM rationale)
+        def gate(g):
+            z = jnp.dot(h_prev, w_ref[:, g * h_dim:(g + 1) * h_dim],
+                        preferred_element_type=jnp.float32)
+            return (z + xp_buf[slot][:, g * h_dim:(g + 1) * h_dim].astype(jnp.float32)
+                    + b_ref[g * h_dim:(g + 1) * h_dim].astype(jnp.float32))
+
+        i_s = jax.nn.sigmoid(gate(0))
+        f_s = jax.nn.sigmoid(gate(1))
+        g_t = jnp.tanh(gate(2))
+        o_s = jax.nn.sigmoid(gate(3))
         c_new = f_s * cp + i_s * g_t
         tanh_c = jnp.tanh(c_new)
 
@@ -235,17 +247,6 @@ def _bwd_kernel(xp_hbm, mask_ref, w_ref, b_ref, h0_ref, c0_ref,
 
         do = dh_new * tanh_c
         dc_t = dc_new + dh_new * o_s * (1 - tanh_c * tanh_c)
-        dgi = (dc_t * g_t) * i_s * (1 - i_s)
-        dgf = (dc_t * cp) * f_s * (1 - f_s)
-        dgo = do * o_s * (1 - o_s)
-        dgg = (dc_t * i_s) * (1 - g_t * g_t)
-        dgates = jnp.concatenate([dgi, dgf, dgg, dgo], axis=-1)
-
-        # dh_prev via W^T; dW/db are reduced OUTSIDE the kernel from dgates
-        dh_prev = jax.lax.dot_general(dgates, w32, (((1,), (1,)), ((), ())),
-                                      preferred_element_type=jnp.float32)
-        dh_scr[:] = dh_prev + dh_acc * (1 - m)
-        dc_scr[:] = dc_t * f_s + dc_acc * (1 - m)
 
         @pl.when(i >= n_buf)
         def _():
@@ -253,7 +254,22 @@ def _bwd_kernel(xp_hbm, mask_ref, w_ref, b_ref, h0_ref, c0_ref,
             pltpu.make_async_copy(dg_buf.at[slot], dg_hbm.at[t_old],
                                   dgsem.at[slot]).wait()
 
-        dg_buf[slot] = dgates.astype(dg_buf.dtype)
+        # per-gate dgates written straight into the staging buffer, and
+        # dh_prev accumulated gate-by-gate via w_g^T
+        dgi = (dc_t * g_t) * i_s * (1 - i_s)
+        dgf = (dc_t * cp) * f_s * (1 - f_s)
+        dgg = (dc_t * i_s) * (1 - g_t * g_t)
+        dgo = do * o_s * (1 - o_s)
+        dh_prev = jnp.zeros_like(dh_acc)
+        for g, dgate in enumerate((dgi, dgf, dgg, dgo)):
+            dg_buf[slot, :, g * h_dim:(g + 1) * h_dim] = dgate.astype(dg_buf.dtype)
+            dh_prev += jax.lax.dot_general(
+                dgate.astype(w_ref.dtype), w_ref[:, g * h_dim:(g + 1) * h_dim],
+                (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+
+        dh_scr[:] = dh_prev + dh_acc * (1 - m)
+        dc_scr[:] = dc_t * f_s + dc_acc * (1 - m)
+
         pltpu.make_async_copy(dg_buf.at[slot], dg_hbm.at[t], dgsem.at[slot]).start()
         return 0
 
@@ -280,7 +296,7 @@ def _lstm_bwd_pallas(xp, mask, w_hh, b_hh, h0, c0, y, c_seq, dy, dh_T, dc_T,
     h_dim = w_hh.shape[0]
     dtype = xp.dtype
     out_shapes = (
-        jax.ShapeDtypeStruct((t_dim, b_dim, g4), jnp.float32),  # dgates
+        jax.ShapeDtypeStruct((t_dim, b_dim, g4), dtype),        # dgates
         jax.ShapeDtypeStruct((b_dim, h_dim), dtype),            # dh0
         jax.ShapeDtypeStruct((b_dim, h_dim), dtype),            # dc0
     )
@@ -306,7 +322,7 @@ def _lstm_bwd_pallas(xp, mask, w_hh, b_hh, h0, c0, y, c_seq, dy, dh_T, dc_T,
             pltpu.VMEM((2, b_dim, h_dim), dtype),       # y staging
             pltpu.VMEM((2, b_dim, h_dim), dtype),       # c staging
             pltpu.VMEM((2, b_dim, h_dim), dtype),       # dy staging
-            pltpu.VMEM((2, b_dim, g4), jnp.float32),    # dgates staging
+            pltpu.VMEM((2, b_dim, g4), dtype),          # dgates staging
             pltpu.VMEM((b_dim, h_dim), jnp.float32),    # dh carry
             pltpu.VMEM((b_dim, h_dim), jnp.float32),    # dc carry
             pltpu.SemaphoreType.DMA((2,)),
@@ -350,10 +366,10 @@ def _vjp_bwd(interpret, residuals, cotangents):
     t_dim, b_dim, g4 = dgates.shape
     h_prev = jnp.concatenate([h0[None], y[:-1]], axis=0)
     dw = jax.lax.dot_general(
-        h_prev.reshape(t_dim * b_dim, -1).astype(jnp.float32),
+        h_prev.reshape(t_dim * b_dim, -1),
         dgates.reshape(t_dim * b_dim, g4),
         (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-    db = jnp.sum(dgates, axis=(0, 1))
+    db = jnp.sum(dgates.astype(jnp.float32), axis=(0, 1))
     dxp = dgates.astype(xp.dtype)
     return (dxp, None, dw.astype(w_hh.dtype), db.astype(b_hh.dtype),
             dh0, dc0)
