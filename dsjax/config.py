@@ -145,6 +145,11 @@ class TrainerConfig:
     mesh_model: int = 1
     matmul_precision: str = "bfloat16"  # 'bfloat16' | 'float32' | 'tensorfloat32'
     donate_state: bool = True
+    # profiling (reference passthrough parity: lightning TrainerConf.profiler)
+    profile: bool = False               # capture an XProf trace of a few steps
+    profile_dir: str = "profiles"
+    profile_start_step: int = 10
+    profile_num_steps: int = 4
 
 
 @dataclass

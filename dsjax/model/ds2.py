@@ -200,8 +200,11 @@ class RecurrentLayer(nn.Module):
         t_dim, b_dim = x.shape[0], x.shape[1]
         h_sz, g = self.hidden_size, spec.gates
         init = _uniform_init(h_sz)
+        # W_hh must fit VMEM alongside staging buffers (~16 MB/core budget)
+        w_bytes = h_sz * g * h_sz * jnp.dtype(self.dtype).itemsize
         pallas_ok = (self._pallas_enabled()
-                     and h_sz % 128 == 0 and b_dim % 8 == 0)
+                     and h_sz % 128 == 0 and b_dim % 8 == 0
+                     and w_bytes <= 9 * 1024 * 1024)
 
         def direction(name: str, xd: Array, carry0: Tuple[Array, ...]) -> Tuple[Array, Tuple[Array, ...]]:
             w_ih = self.param(f"{name}_w_ih", init, (self.input_size, g * h_sz))

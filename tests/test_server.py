@@ -1,0 +1,144 @@
+"""HTTP inference server: multipart upload, batching worker, health checks."""
+
+import http.client
+import io
+import json
+import threading
+import time
+from http.server import ThreadingHTTPServer
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dsjax.audio.io import save_wav
+from dsjax.config import BiDirectionalConfig, ServerConfig, SpectConfig
+from dsjax.decode.greedy import GreedyDecoder
+from dsjax.inference import ModelBundle
+from dsjax.labels import DEFAULT_LABELS
+from dsjax.model.ds2 import DeepSpeech2
+from dsjax.server import BatchWorker, make_handler, _parse_upload
+
+
+@pytest.fixture(scope="module")
+def server_port():
+    cfg = ServerConfig()
+    cfg.max_batch = 4
+    cfg.batch_timeout_ms = 30.0
+    model = DeepSpeech2(num_classes=len(DEFAULT_LABELS), spect_cfg=SpectConfig(),
+                        model_cfg=BiDirectionalConfig(hidden_size=16, hidden_layers=1))
+    x = jnp.zeros((1, 161, 32), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, jnp.array([32]), train=False)
+    bundle = ModelBundle(model, variables, list(DEFAULT_LABELS), SpectConfig())
+    worker = BatchWorker(bundle, GreedyDecoder(DEFAULT_LABELS), cfg)
+    worker.start()
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(worker, cfg))
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield httpd.server_address[1]
+    worker.running = False
+    httpd.shutdown()
+
+
+def _multipart(filename, payload):
+    boundary = "testboundary123"
+    body = (f"--{boundary}\r\nContent-Disposition: form-data; name=\"file\"; "
+            f"filename=\"{filename}\"\r\nContent-Type: audio/wav\r\n\r\n"
+            ).encode() + payload + f"\r\n--{boundary}--\r\n".encode()
+    return body, f"multipart/form-data; boundary={boundary}"
+
+
+def _wav_bytes(dur=0.3):
+    buf = io.BytesIO()
+    y = (0.3 * np.sin(2 * np.pi * 300 * np.arange(int(16000 * dur)) / 16000)
+         ).astype(np.float32)
+    import tempfile, os
+
+    with tempfile.NamedTemporaryFile(suffix=".wav", delete=False) as f:
+        name = f.name
+    save_wav(name, y, 16000)
+    data = open(name, "rb").read()
+    os.unlink(name)
+    return data
+
+
+def test_health(server_port):
+    conn = http.client.HTTPConnection("127.0.0.1", server_port, timeout=30)
+    conn.request("GET", "/health")
+    r = conn.getresponse()
+    assert r.status == 200
+    assert json.loads(r.read())["status"] == "ok"
+
+
+def test_transcribe_roundtrip(server_port):
+    body, ctype = _multipart("test.wav", _wav_bytes())
+    conn = http.client.HTTPConnection("127.0.0.1", server_port, timeout=120)
+    conn.request("POST", "/transcribe", body=body,
+                 headers={"Content-Type": ctype})
+    r = conn.getresponse()
+    payload = json.loads(r.read())
+    assert r.status == 200, payload
+    assert "output" in payload
+    assert "transcription" in payload["output"][0]
+    assert payload["_meta"]["decoder"]["type"] == "greedy"
+
+
+def test_concurrent_requests_batched(server_port):
+    """Several concurrent posts must all succeed (dynamic batching path)."""
+    results = []
+
+    def post():
+        body, ctype = _multipart("a.wav", _wav_bytes(0.2))
+        conn = http.client.HTTPConnection("127.0.0.1", server_port, timeout=120)
+        conn.request("POST", "/transcribe", body=body,
+                     headers={"Content-Type": ctype})
+        results.append(conn.getresponse().status)
+
+    threads = [threading.Thread(target=post) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert results == [200] * 4
+
+
+def test_unsupported_extension(server_port):
+    body, ctype = _multipart("x.mp3", b"not really mp3")
+    conn = http.client.HTTPConnection("127.0.0.1", server_port, timeout=30)
+    conn.request("POST", "/transcribe", body=body,
+                 headers={"Content-Type": ctype})
+    assert conn.getresponse().status == 415
+
+
+def test_parse_upload_raw_body():
+    name, payload = _parse_upload("audio/wav", b"RIFFdata")
+    assert payload == b"RIFFdata"
+    name, payload = _parse_upload("text/plain", b"hi")
+    assert payload is None
+
+
+def test_lm_search_optimizers():
+    """TPE-lite and grid search converge on a synthetic objective."""
+    import search_lm_params as slp
+
+    class FakeObjective:
+        cfg = None
+
+        def __call__(self, alpha, beta):
+            wer = (alpha - 1.2) ** 2 + (beta - 0.4) ** 2
+            return wer, wer / 2
+
+    cfg = slp.OptimizerConfig(alpha_from=0, alpha_to=3, beta_from=0, beta_to=1,
+                              n_trials=60, is_character_based=False, seed=1)
+    import contextlib, io as _io
+
+    with contextlib.redirect_stdout(_io.StringIO()):
+        trials = slp.tpe_lite(FakeObjective(), cfg)
+        best = min(trials, key=lambda t: t[2])
+        cfg.grid_steps = 7
+        grid = slp.grid_search(FakeObjective(), cfg)
+    assert abs(best[0] - 1.2) < 0.45 and abs(best[1] - 0.4) < 0.45
+    gbest = min(grid, key=lambda t: t[2])
+    assert abs(gbest[0] - 1.0) < 0.3 and abs(gbest[1] - 0.5) < 0.25
