@@ -22,9 +22,13 @@ bound); the reference publishes no numbers in-tree (see BASELINE.md).
 """
 
 import json
+import os
 import time
 
 import numpy as np
+
+BATCH = int(os.environ.get("DSJAX_BENCH_BATCH", "32"))
+SECONDS = float(os.environ.get("DSJAX_BENCH_SECONDS", "10.24"))
 
 
 def build_program(n_steps: int):
@@ -46,7 +50,7 @@ def build_program(n_steps: int):
                         model_cfg=cfg.model, dtype=jnp.bfloat16)
     tx = make_optimizer(cfg.optim, cfg.trainer)
 
-    B, F, T, L = 32, 161, 1024, 256
+    B, F, T, L = BATCH, 161, int(SECONDS * 100), 256
     C = len(DEFAULT_LABELS)
 
     def program(seed):
@@ -107,7 +111,7 @@ def main():
     utt_per_sec = batch / step_time
     baseline_a100_utt_s = 90.0  # see module docstring
     print(json.dumps({
-        "metric": "train_throughput_ds2_5x1024_b32_t1024",
+        "metric": f"train_throughput_ds2_5x1024_b{BATCH}_t{int(SECONDS * 100)}",
         "value": round(utt_per_sec, 2),
         "unit": "utterances/sec/chip",
         "vs_baseline": round(utt_per_sec / baseline_a100_utt_s, 3),

@@ -12,22 +12,32 @@ from __future__ import annotations
 
 from typing import List, Sequence, Tuple
 
+def _py_distance(a: str, b: str) -> int:
+    """Pure-python fallback (O(nm) DP, two-row)."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
 try:
     import Levenshtein as _Lev
 
     def _distance(a: str, b: str) -> int:
         return _Lev.distance(a, b)
-except ImportError:  # pure-python fallback (O(nm) DP, two-row)
-    def _distance(a: str, b: str) -> int:
-        if len(a) < len(b):
-            a, b = b, a
-        prev = list(range(len(b) + 1))
-        for i, ca in enumerate(a, 1):
-            cur = [i]
-            for j, cb in enumerate(b, 1):
-                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
-            prev = cur
-        return prev[-1]
+except ImportError:
+    try:  # native C++ extension (dsjax/cpp/src/beam.cpp ds_levenshtein)
+        from dsjax.cpp.beam_binding import levenshtein as _cpp_lev
+
+        def _distance(a: str, b: str) -> int:
+            return _cpp_lev([ord(c) for c in a], [ord(c) for c in b])
+    except Exception:
+        _distance = _py_distance
 
 
 def wer_distance(s1: str, s2: str) -> int:
