@@ -7,7 +7,7 @@ import numpy as np
 
 from dsjax.config import BiDirectionalConfig, SpectConfig, TrainConfig, compose
 from dsjax.labels import DEFAULT_LABELS
-from dsjax.model.ctc import ctc_loss
+from dsjax.model.ctc import ctc_loss_auto as ctc_loss
 from dsjax.model.ds2 import DeepSpeech2
 
 B, F, T, L = 32, 161, 1024, 256

@@ -37,7 +37,7 @@ def build_program(n_steps: int):
 
     from dsjax.config import TrainConfig, compose
     from dsjax.labels import DEFAULT_LABELS
-    from dsjax.model.ctc import ctc_loss
+    from dsjax.model.ctc import ctc_loss_auto as ctc_loss
     from dsjax.model.ds2 import DeepSpeech2
     from dsjax.train.state import TrainState, epoch_lr, make_optimizer, set_lr
 

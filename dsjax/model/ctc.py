@@ -108,6 +108,22 @@ def ctc_forward(log_probs: Array, input_lengths: Array, targets: Array,
     return -ll
 
 
+def ctc_loss_auto(log_probs: Array, input_lengths: Array, targets: Array,
+                  target_lengths: Array, blank: int = 0, reduction: str = "sum",
+                  zero_infinity: bool = True) -> Array:
+    """ctc_loss that dispatches to the Pallas kernel on TPU (the lax.scan
+    version is latency-bound there; see dsjax/ops/ctc_pallas.py)."""
+    import jax as _jax
+
+    if _jax.default_backend() == "tpu":
+        from dsjax.ops.ctc_pallas import ctc_loss_pallas
+
+        return ctc_loss_pallas(log_probs, input_lengths, targets,
+                               target_lengths, blank, reduction, zero_infinity)
+    return ctc_loss(log_probs, input_lengths, targets, target_lengths, blank,
+                    reduction, zero_infinity)
+
+
 def ctc_loss(log_probs: Array, input_lengths: Array, targets: Array,
              target_lengths: Array, blank: int = 0, reduction: str = "sum",
              zero_infinity: bool = True) -> Array:

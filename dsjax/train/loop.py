@@ -28,7 +28,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from dsjax.config import TrainConfig
 from dsjax.data.dataset import Batch
 from dsjax.decode.greedy import GreedyDecoder
-from dsjax.model.ctc import ctc_loss
+from dsjax.model.ctc import ctc_loss_auto as ctc_loss
 from dsjax.model.ds2 import DeepSpeech2, init_model
 from dsjax.parallel.mesh import batch_sharding, make_mesh, param_shardings
 from dsjax.train.metrics import CharErrorRate, WordErrorRate, update_batch
