@@ -3,23 +3,32 @@
 The reference relies on torch's native C++/CUDA ``nn.CTCLoss(blank=0,
 reduction='sum', zero_infinity=True)`` applied to time-major log-softmax
 outputs (reference: model.py:203,241-249). This is the TPU-native
-equivalent: a log-semiring alpha recursion expressed as a `lax.scan` over
-time, fully vectorized over (batch, extended-label) so every step is VPU
-work on static shapes; gradients come from JAX AD through the scan, which
-is algebraically the standard forward-backward gradient.
+equivalent: log-semiring alpha/beta recursions expressed as `lax.scan`s over
+time, fully vectorized over (batch, extended-label).
 
-Numerical notes:
+TPU performance notes:
+  * per-state label log-probs lp_ext[t, b, s] = lp[t, b, ext[b, s]] are
+    materialized with a one-hot batched MATMUL, not a gather — TPU gathers
+    at element granularity are orders of magnitude slower than an MXU
+    einsum of the same shape;
+  * gradients are ANALYTIC via a custom VJP (beta recursion + posterior),
+    dL/dlp[t,c] = -sum_{s:ext[s]=c} exp(alpha_t[s] + beta_t[s] - lp_ext - ll),
+    with the class-scatter again a one-hot matmul — no reverse-mode AD
+    through the scan (AD residual round-trips are latency-bound);
   * impossible paths use a large finite negative (NEG) instead of -inf so
-    reverse-mode AD never sees inf-inf -> nan;
-  * `zero_infinity=True` semantics: when a sample is infeasible
-    (input too short for the target), its loss AND its gradient are zeroed
-    via a `where` on the final per-sample loss;
-  * the recursion runs in float32 even under bfloat16 training — the
-    summands span a huge dynamic range and bf16's 8 mantissa bits would
-    destroy the loss signal.
+    nothing ever produces inf - inf = nan;
+  * `zero_infinity=True`: infeasible samples (input shorter than required)
+    contribute zero loss AND zero gradient;
+  * the recursion runs in float32 even under bfloat16 training.
+
+A Pallas-fused variant of the alpha/beta scans lives in
+dsjax/ops/ctc_pallas.py.
 """
 
 from __future__ import annotations
+
+import functools
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -38,6 +47,79 @@ def _extend_targets(targets: Array, blank: int) -> Array:
     return ext
 
 
+def _lattice(log_probs: Array, input_lengths: Array, targets: Array,
+             target_lengths: Array, blank: int):
+    """Shared lattice tensors. lp_ext via one-hot matmul (see module doc)."""
+    b_dim, t_dim, c_dim = log_probs.shape
+    ext = _extend_targets(targets, blank)                     # (B, S)
+    s_dim = ext.shape[1]
+    s_idx = jnp.arange(s_dim)[None, :]
+    s_valid = s_idx < (2 * target_lengths[:, None] + 1)       # (B, S)
+    ext_m2 = jnp.pad(ext, ((0, 0), (2, 0)), constant_values=-1)[:, :s_dim]
+    can_skip = (ext != blank) & (ext != ext_m2)               # (B, S)
+
+    lp = jnp.transpose(log_probs, (1, 0, 2)).astype(jnp.float32)  # (T, B, C)
+    onehot = jax.nn.one_hot(ext, c_dim, dtype=jnp.float32)        # (B, S, C)
+    lp_ext = jnp.einsum("tbc,bsc->tbs", lp, onehot)               # (T, B, S)
+    active = jnp.arange(t_dim)[:, None] < input_lengths[None, :]  # (T, B)
+    return ext, s_dim, s_valid, can_skip, onehot, lp_ext, active
+
+
+def _shift1(a):
+    return jnp.pad(a, ((0, 0), (1, 0)), constant_values=NEG)[:, :a.shape[1]]
+
+
+def _shift2(a):
+    return jnp.pad(a, ((0, 0), (2, 0)), constant_values=NEG)[:, :a.shape[1]]
+
+
+def _logaddexp3(a, b, c):
+    m = jnp.maximum(jnp.maximum(a, b), c)
+    out = m + jnp.log(jnp.exp(a - m) + jnp.exp(b - m) + jnp.exp(c - m))
+    return jnp.maximum(out, NEG)
+
+
+def _alpha0(lp_ext, s_valid, target_lengths):
+    b_dim, s_dim = s_valid.shape
+    alpha0 = jnp.full((b_dim, s_dim), NEG)
+    alpha0 = alpha0.at[:, 0].set(lp_ext[0, :, 0])
+    if s_dim > 1:
+        alpha0 = alpha0.at[:, 1].set(
+            jnp.where(target_lengths > 0, lp_ext[0, :, 1], NEG))
+    return jnp.where(s_valid, alpha0, NEG)
+
+
+def _alpha_scan(lp_ext, s_valid, can_skip, active, target_lengths
+                ) -> Tuple[Array, Array]:
+    """Returns (alpha trajectory (T, B, S), final alpha (B, S))."""
+    alpha0 = _alpha0(lp_ext, s_valid, target_lengths)
+
+    def step(alpha, inp):
+        lp_t, act = inp
+        new = _logaddexp3(alpha, _shift1(alpha),
+                          jnp.where(can_skip, _shift2(alpha), NEG)) + lp_t
+        new = jnp.where(s_valid, new, NEG)
+        alpha = jnp.where(act[:, None], new, alpha)
+        return alpha, alpha
+
+    alpha_last, traj = jax.lax.scan(step, alpha0, (lp_ext[1:], active[1:]))
+    traj = jnp.concatenate([alpha0[None], traj], axis=0)
+    return traj, alpha_last
+
+
+def _final_ll(alpha_last: Array, target_lengths: Array) -> Array:
+    end = 2 * target_lengths
+    a_last = jnp.take_along_axis(alpha_last, end[:, None], axis=1)[:, 0]
+    a_prev = jnp.where(
+        end >= 1,
+        jnp.take_along_axis(alpha_last, jnp.maximum(end - 1, 0)[:, None],
+                            axis=1)[:, 0],
+        NEG)
+    m = jnp.maximum(a_last, a_prev)
+    return m + jnp.log(jnp.exp(a_last - m) + jnp.exp(a_prev - m))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def ctc_forward(log_probs: Array, input_lengths: Array, targets: Array,
                 target_lengths: Array, blank: int = 0) -> Array:
     """Per-sample negative log-likelihoods, shape (B,).
@@ -49,79 +131,80 @@ def ctc_forward(log_probs: Array, input_lengths: Array, targets: Array,
         target_lengths).
       target_lengths: (B,) valid label counts.
     """
+    nll, _ = _ctc_fwd_impl(log_probs, input_lengths, targets, target_lengths,
+                           blank)
+    return nll
+
+
+def _ctc_fwd_impl(log_probs, input_lengths, targets, target_lengths, blank):
     log_probs = log_probs.astype(jnp.float32)
-    b_dim, t_dim, _ = log_probs.shape
-    ext = _extend_targets(targets, blank)                      # (B, S)
-    s_dim = ext.shape[1]
-    s_idx = jnp.arange(s_dim)[None, :]                         # (1, S)
-    s_valid = s_idx < (2 * target_lengths[:, None] + 1)        # (B, S)
+    (_ext, _s, s_valid, can_skip, _onehot, lp_ext, active) = _lattice(
+        log_probs, input_lengths, targets, target_lengths, blank)
+    traj, alpha_last = _alpha_scan(lp_ext, s_valid, can_skip, active,
+                                   target_lengths)
+    ll = _final_ll(alpha_last, target_lengths)
+    return -ll, (traj, ll)
 
-    # can we skip from s-2 (label transition, not repeat / not blank)?
-    ext_m2 = jnp.pad(ext, ((0, 0), (2, 0)), constant_values=-1)[:, :s_dim]
-    can_skip = (ext != blank) & (ext != ext_m2)                # (B, S)
 
-    # per-step extended-label log-probs, one gather: (T, B, S)
-    lp = jnp.transpose(log_probs, (1, 0, 2))                   # (T, B, C)
-    lp_ext = jnp.take_along_axis(lp, jnp.broadcast_to(ext[None], (t_dim, b_dim, s_dim)),
-                                 axis=2)
+def _ctc_vjp_fwd(log_probs, input_lengths, targets, target_lengths, blank):
+    nll, (traj, ll) = _ctc_fwd_impl(log_probs, input_lengths, targets,
+                                    target_lengths, blank)
+    return nll, (log_probs, input_lengths, targets, target_lengths, traj, ll)
 
-    alpha0 = jnp.full((b_dim, s_dim), NEG)
-    alpha0 = alpha0.at[:, 0].set(lp_ext[0, :, 0])
-    has_label = target_lengths > 0
-    alpha0 = alpha0.at[:, 1].set(jnp.where(has_label, lp_ext[0, :, 1], NEG))
-    alpha0 = jnp.where(s_valid, alpha0, NEG)
 
-    def shift1(a):
-        return jnp.pad(a, ((0, 0), (1, 0)), constant_values=NEG)[:, :s_dim]
+def _ctc_vjp_bwd(blank, residuals, g):
+    log_probs, input_lengths, targets, target_lengths, alpha_traj, ll = residuals
+    log_probs32 = log_probs.astype(jnp.float32)
+    (_ext, s_dim, s_valid, can_skip, onehot, lp_ext, active) = _lattice(
+        log_probs32, input_lengths, targets, target_lengths, blank)
+    t_dim = lp_ext.shape[0]
 
-    def shift2(a):
-        return jnp.pad(a, ((0, 0), (2, 0)), constant_values=NEG)[:, :s_dim]
+    # beta~ recursion (includes own emission), scanned in reverse; at each
+    # utterance's last frame the state re-initializes to the end states.
+    end = 2 * target_lengths                                    # (B,)
+    s_iota = jnp.arange(s_dim)[None, :]
+    beta_init_row = jnp.where(
+        (s_iota == end[:, None]) | ((s_iota == end[:, None] - 1)
+                                    & (target_lengths[:, None] > 0)),
+        0.0, NEG)                                               # + lp below
 
-    def logaddexp3(a, b, c):
-        m = jnp.maximum(jnp.maximum(a, b), c)
-        out = m + jnp.log(jnp.exp(a - m) + jnp.exp(b - m) + jnp.exp(c - m))
-        return jnp.maximum(out, NEG)
+    def shift_m1(a):
+        return jnp.pad(a, ((0, 0), (0, 1)), constant_values=NEG)[:, 1:]
 
-    def step(alpha, inp):
-        lp_t, t = inp
-        stay = alpha
-        from1 = shift1(alpha)
-        from2 = jnp.where(can_skip, shift2(alpha), NEG)
-        new = logaddexp3(stay, from1, from2) + lp_t
+    def shift_m2(a):
+        return jnp.pad(a, ((0, 0), (0, 2)), constant_values=NEG)[:, 2:]
+
+    # skip from s to s+2 allowed iff can_skip[s+2]
+    skip_fwd = shift_m2(jnp.where(can_skip, 1.0, 0.0)) > 0.5
+
+    def step(beta, inp):
+        lp_t, act, is_last = inp
+        upd = _logaddexp3(beta, shift_m1(beta),
+                          jnp.where(skip_fwd, shift_m2(beta), NEG))
+        new = jnp.where(is_last[:, None], beta_init_row, upd) + lp_t
         new = jnp.where(s_valid, new, NEG)
-        active = (t < input_lengths)[:, None]
-        alpha = jnp.where(active, new, alpha)
-        return alpha, None
+        beta = jnp.where(act[:, None], new, beta)
+        return beta, beta
 
-    ts = jnp.arange(1, t_dim)
-    alpha, _ = jax.lax.scan(step, alpha0, (lp_ext[1:], ts))
+    is_last = (jnp.arange(t_dim)[:, None] == (input_lengths - 1)[None, :])
+    beta0 = jnp.full_like(beta_init_row, NEG)
+    _, beta_traj = jax.lax.scan(step, beta0, (lp_ext, active, is_last),
+                                reverse=True)
 
-    end = 2 * target_lengths                                   # index of final blank
-    a_last = jnp.take_along_axis(alpha, end[:, None], axis=1)[:, 0]
-    a_prev = jnp.where(
-        end >= 1,
-        jnp.take_along_axis(alpha, jnp.maximum(end - 1, 0)[:, None], axis=1)[:, 0],
-        NEG,
-    )
-    m = jnp.maximum(a_last, a_prev)
-    ll = m + jnp.log(jnp.exp(a_last - m) + jnp.exp(a_prev - m))
-    return -ll
+    gamma = alpha_traj + beta_traj - lp_ext
+    feasible = ll > NEG / 2
+    safe_ll = jnp.where(feasible, ll, 0.0)
+    post = jnp.exp(jnp.clip(gamma - safe_ll[None, :, None], NEG, 1.0))
+    post = post * s_valid[None] * active[:, :, None]
+    post = jnp.where(feasible[None, :, None], post, 0.0)
+
+    # class scatter via one-hot matmul: dlp[t, b, c] = -g_b * sum_s post
+    dlp_tbc = -jnp.einsum("tbs,bsc->tbc", post, onehot)
+    dlp = jnp.transpose(dlp_tbc * g[None, :, None], (1, 0, 2))
+    return (dlp.astype(log_probs.dtype), None, None, None)
 
 
-def ctc_loss_auto(log_probs: Array, input_lengths: Array, targets: Array,
-                  target_lengths: Array, blank: int = 0, reduction: str = "sum",
-                  zero_infinity: bool = True) -> Array:
-    """ctc_loss that dispatches to the Pallas kernel on TPU (the lax.scan
-    version is latency-bound there; see dsjax/ops/ctc_pallas.py)."""
-    import jax as _jax
-
-    if _jax.default_backend() == "tpu":
-        from dsjax.ops.ctc_pallas import ctc_loss_pallas
-
-        return ctc_loss_pallas(log_probs, input_lengths, targets,
-                               target_lengths, blank, reduction, zero_infinity)
-    return ctc_loss(log_probs, input_lengths, targets, target_lengths, blank,
-                    reduction, zero_infinity)
+ctc_forward.defvjp(_ctc_vjp_fwd, _ctc_vjp_bwd)
 
 
 def ctc_loss(log_probs: Array, input_lengths: Array, targets: Array,
@@ -143,3 +226,14 @@ def ctc_loss(log_probs: Array, input_lengths: Array, targets: Array,
         denom = jnp.maximum(target_lengths, 1).astype(nll.dtype)
         return jnp.mean(nll / denom)
     raise ValueError(f"unknown reduction {reduction!r}")
+
+
+def ctc_loss_auto(log_probs: Array, input_lengths: Array, targets: Array,
+                  target_lengths: Array, blank: int = 0, reduction: str = "sum",
+                  zero_infinity: bool = True) -> Array:
+    """Alias kept for call sites that want backend-specific dispatch; the
+    analytic-VJP scan implementation is currently the fastest everywhere
+    (the Pallas variant in dsjax/ops/ctc_pallas.py is available for
+    experimentation)."""
+    return ctc_loss(log_probs, input_lengths, targets, target_lengths, blank,
+                    reduction, zero_infinity)

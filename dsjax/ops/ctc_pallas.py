@@ -156,8 +156,10 @@ def _build_lattice(log_probs, input_lengths, targets, target_lengths, blank):
     can_skip = ((ext != blank) & (ext != ext_m2)).astype(jnp.float32)
 
     lp = jnp.transpose(log_probs, (1, 0, 2)).astype(jnp.float32)  # (T, B, C)
-    lp_ext = jnp.take_along_axis(
-        lp, jnp.broadcast_to(ext[None], (t_dim, b_dim, s_pad)), axis=2)
+    # one-hot matmul instead of gather (TPU element-gathers are very slow)
+    c_dim = log_probs.shape[2]
+    onehot = jax.nn.one_hot(ext, c_dim, dtype=jnp.float32)        # (B, S, C)
+    lp_ext = jnp.einsum("tbc,bsc->tbs", lp, onehot)
     lp_ext = jnp.where(s_valid[None] > 0, lp_ext, 0.0)
     active = (jnp.arange(t_dim)[:, None] < input_lengths[None, :]).astype(jnp.float32)
 
