@@ -206,7 +206,8 @@ class RecurrentLayer(nn.Module):
                      and h_sz % 128 == 0 and b_dim % 8 == 0
                      and w_bytes <= 9 * 1024 * 1024)
 
-        def direction(name: str, xd: Array, carry0: Tuple[Array, ...]) -> Tuple[Array, Tuple[Array, ...]]:
+        def direction(name: str, xd: Array, mask: Array,
+                      carry0: Tuple[Array, ...]) -> Tuple[Array, Tuple[Array, ...]]:
             w_ih = self.param(f"{name}_w_ih", init, (self.input_size, g * h_sz))
             w_hh = self.param(f"{name}_w_hh", init, (h_sz, g * h_sz))
             b_ih = self.param(f"{name}_b_ih", init, (g * h_sz,))
@@ -216,7 +217,7 @@ class RecurrentLayer(nn.Module):
             # one big MXU matmul for all timesteps' input projections
             xp = (xd.reshape(t_dim * b_dim, self.input_size) @ w_ih.astype(dt)
                   ).reshape(t_dim, b_dim, g * h_sz) + b_ih.astype(dt)
-            mask = (jnp.arange(t_dim)[:, None] < lengths[None, :]).astype(dt)  # (T, B)
+            mask = mask.astype(dt)  # (T, B)
             w_hh_c = w_hh.astype(dt)
             b_hh_c = b_hh.astype(dt)
 
@@ -279,19 +280,23 @@ class RecurrentLayer(nn.Module):
             v = carry_in[name]
             return tuple(v) if isinstance(v, (tuple, list)) else (v,)
 
-        y_fwd, c_fwd = direction("fwd", x, carry_for("fwd"))
+        mask_fwd = jnp.arange(t_dim)[:, None] < lengths[None, :]
+        y_fwd, c_fwd = direction("fwd", x, mask_fwd, carry_for("fwd"))
         carry_out: Dict[str, Any] = {"fwd": c_fwd}
         y = y_fwd
         if self.bidirectional:
-            # length-aware reversal: idx[t, b] = clamp(len[b]-1-t); the same
-            # gather un-reverses, since the map is an involution on valid t.
-            idx = jnp.clip(lengths[None, :] - 1 - jnp.arange(t_dim)[:, None], 0)
-            take = lambda a: jnp.take_along_axis(a, idx[:, :, None], axis=0)
-            xr = take(x)
-            y_bwd_r, c_bwd = direction("bwd", xr, carry_for("bwd"))
-            y_bwd = take(y_bwd_r)
-            mask = (jnp.arange(t_dim)[:, None] < lengths[None, :]).astype(y.dtype)
-            y = y_fwd + y_bwd * mask[:, :, None]
+            # Gather-free length-aware reversal: flip the WHOLE padded array
+            # (lax.rev — a fast layout op, no element-gather) and flip the
+            # mask with it. Each sequence's valid frames now occupy
+            # [T-len, T); the masked carry idles through the leading padding
+            # (m=0 keeps h0/c0), so the scan semantics match a per-length
+            # reversal exactly, and flipping the output re-aligns it.
+            xr = jnp.flip(x, axis=0)
+            mask_bwd = jnp.flip(mask_fwd, axis=0)
+            y_bwd_r, c_bwd = direction("bwd", xr, mask_bwd, carry_for("bwd"))
+            y_bwd = jnp.flip(y_bwd_r, axis=0)
+            # y_bwd is already zero-masked past each length by the scan
+            y = y_fwd + y_bwd
             carry_out["bwd"] = c_bwd
         return y, carry_out
 
