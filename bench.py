@@ -6,7 +6,8 @@ Prints ONE JSON line:
 
 Measures end-to-end training step time for the DeepSpeech2 flagship config
 (2xconv + 5xBiLSTM-1024, bf16 compute, on-device CTC, AdamW + clip 400)
-with LibriSpeech-like shapes (batch 32, ~10s utterances).
+with LibriSpeech-like shapes (batch 64 — the reference's per-GPU LibriSpeech
+batch — and ~10s utterances).
 
 Methodology: the local TPU is reached through a tunnel whose per-call input
 transfer dominates wall-clock and whose block_until_ready is asynchronous,
@@ -27,7 +28,7 @@ import time
 
 import numpy as np
 
-BATCH = int(os.environ.get("DSJAX_BENCH_BATCH", "32"))
+BATCH = int(os.environ.get("DSJAX_BENCH_BATCH", "64"))
 SECONDS = float(os.environ.get("DSJAX_BENCH_SECONDS", "10.24"))
 
 

@@ -78,6 +78,9 @@ class DataConfig:
     labels_path: str = "labels.json"
     spect: SpectConfig = field(default_factory=SpectConfig)
     augmentation: AugmentationConfig = field(default_factory=AugmentationConfig)
+    # TPU-first: host only loads/augments waveforms; STFT + normalization run
+    # inside the compiled train/eval step (SpecAugment forces host features).
+    device_features: bool = True
     # TPU-specific: pad time axis up to multiples of this many STFT frames so
     # XLA sees a bounded set of shapes (bounds recompilation).
     bucket_frames: int = 128

@@ -32,17 +32,27 @@ from dsjax.labels import LabelMap
 
 @dataclasses.dataclass
 class Batch:
-    """One padded batch. inputs: (B, F, T) float32; targets: (B, L) int32."""
+    """One padded batch.
 
-    inputs: np.ndarray
+    Two modes:
+      * host features: ``inputs`` is (B, F, T) float32 spectrograms;
+      * device features (TPU-first): ``audio`` is (B, L_pad) reflect-padded
+        raw signal (see audio.features.pad_audio_for_device) and the STFT
+        runs inside the jitted train/eval step; ``inputs`` is None.
+    ``input_lengths`` is the valid FRAME count in both modes.
+    """
+
+    inputs: Optional[np.ndarray]
     input_lengths: np.ndarray      # (B,) valid frame counts
     targets: np.ndarray            # (B, L) padded with 0 (masked by lengths)
     target_lengths: np.ndarray     # (B,)
     input_percentages: np.ndarray  # (B,) reference-parity: len / padded T
+    audio: Optional[np.ndarray] = None  # (B, L_pad) device-feature mode
 
     @property
     def size(self) -> int:
-        return self.inputs.shape[0]
+        arr = self.inputs if self.inputs is not None else self.audio
+        return arr.shape[0]
 
     def flat_targets(self) -> np.ndarray:
         """Reference-layout flat 1-D targets (data_loader.py:259-269)."""
@@ -84,32 +94,73 @@ def collate(samples: Sequence[Tuple[np.ndarray, List[int]]],
     return Batch(inputs, input_lengths, targets, target_lengths, percentages)
 
 
+def collate_audio(samples: Sequence[Tuple[np.ndarray, int, List[int]]],
+                  hop: int, bucket_frames: int = 1, bucket_labels: int = 1,
+                  pad_to_batch: Optional[int] = None) -> Batch:
+    """Device-feature twin of :func:`collate`: pads reflect-padded raw audio
+    to a common bucketed frame count; the STFT happens on device."""
+    samples = sorted(samples, key=lambda s: s[1], reverse=True)
+    b = len(samples)
+    max_t = round_up(max(s[1] for s in samples), bucket_frames)
+    max_l = round_up(max((len(s[2]) for s in samples), default=1) or 1, bucket_labels)
+    total = (max_t + 1) * hop
+    b_pad = pad_to_batch if pad_to_batch is not None else b
+    audio = np.zeros((b_pad, total), np.float32)
+    input_lengths = np.ones((b_pad,), np.int32)
+    targets = np.zeros((b_pad, max_l), np.int32)
+    target_lengths = np.zeros((b_pad,), np.int32)
+    percentages = np.zeros((b_pad,), np.float32)
+    for i, (yp, n_frames, transcript) in enumerate(samples):
+        audio[i, : len(yp)] = yp[:total]
+        input_lengths[i] = n_frames
+        targets[i, : len(transcript)] = transcript
+        target_lengths[i] = len(transcript)
+        percentages[i] = n_frames / float(max_t)
+    return Batch(None, input_lengths, targets, target_lengths, percentages,
+                 audio=audio)
+
+
 class SpectrogramDataset:
     """Manifest- or directory-backed dataset (reference:
-    data_loader.py:189-244). __getitem__ returns (spect (F, T), ids list)."""
+    data_loader.py:189-244).
+
+    device_features=False: __getitem__ -> (spect (F, T), ids) — host STFT.
+    device_features=True (TPU-first): __getitem__ -> (audio (L,), n_frames,
+    ids) — the host only loads/augments/reflect-pads the waveform and the
+    STFT+normalization run on the TPU inside the training step (the 1-core
+    host would otherwise bottleneck the input pipeline). SpecAugment needs
+    the spectrogram, so enabling it forces host features.
+    """
 
     def __init__(self, spect_cfg: SpectConfig, input_path: str,
                  labels: Sequence[str], normalize: bool = True,
                  aug_cfg: Optional[AugmentationConfig] = None,
-                 seed: int = 0):
+                 seed: int = 0, device_features: bool = False):
         self.ids = parse_input(input_path)
         self.label_map = LabelMap(labels)
         self.spect_cfg = spect_cfg
         self.extractor = FeatureExtractor(spect_cfg, normalize=normalize)
         self.augment = AugmentPipeline(aug_cfg, spect_cfg, seed=seed) if aug_cfg else None
+        self.device_features = device_features and not (
+            aug_cfg is not None and aug_cfg.spec_augment)
 
     def __len__(self) -> int:
         return len(self.ids)
 
-    def __getitem__(self, index: int) -> Tuple[np.ndarray, List[int]]:
+    def __getitem__(self, index: int):
         wav_path, transcript_path = self.ids[index]
         y = load_audio(str(wav_path), self.spect_cfg.sample_rate)
         if self.augment is not None:
             y = self.augment.apply_waveform(y)
+        transcript = self.parse_transcript(str(transcript_path))
+        if self.device_features:
+            from dsjax.audio.features import pad_audio_for_device
+
+            yp, n_frames = pad_audio_for_device(y, self.spect_cfg)
+            return yp, n_frames, transcript
         spect = self.extractor(y)
         if self.augment is not None:
             spect = self.augment.apply_spectrogram(spect)
-        transcript = self.parse_transcript(str(transcript_path))
         return spect, transcript
 
     def parse_transcript(self, transcript_path: str) -> List[int]:

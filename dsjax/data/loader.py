@@ -37,6 +37,12 @@ class DataPipeline:
 
     def _load_batch(self, indices) -> Batch:
         samples = [self.dataset[i] for i in indices]
+        if getattr(self.dataset, "device_features", False):
+            from dsjax.data.dataset import collate_audio
+
+            return collate_audio(samples, self.dataset.extractor.hop,
+                                 self.bucket_frames, self.bucket_labels,
+                                 self.pad_to_batch)
         return collate(samples, self.bucket_frames, self.bucket_labels,
                        self.pad_to_batch)
 

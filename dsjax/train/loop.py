@@ -94,14 +94,26 @@ class Trainer:
     # compiled steps
     # ------------------------------------------------------------------
 
+    def _features(self, inputs, input_lengths):
+        """Device-feature path: raw (B, L_pad) audio -> (B, F, T) spectrogram
+        computed inside the compiled step (dsjax.audio.features)."""
+        if inputs.ndim == 2:
+            from dsjax.audio.features import spectrogram_jax
+
+            return spectrogram_jax(inputs, input_lengths, self.cfg.data.spect,
+                                   normalize=True)
+        return inputs
+
     def _train_step_fn(self):
         model, tx, optim_cfg, dp = self.model, self.tx, self.cfg.optim, self.dp
 
         def step_fn(state: TrainState, inputs, input_lengths, targets, target_lengths):
+            feats = self._features(inputs, input_lengths)
+
             def loss_fn(params):
                 (out, out_lens, _), mut = model.apply(
                     {"params": params, "batch_stats": state.batch_stats},
-                    inputs, input_lengths, train=True, mutable=["batch_stats"])
+                    feats, input_lengths, train=True, mutable=["batch_stats"])
                 logp = jax.nn.log_softmax(out.astype(jnp.float32), axis=-1)
                 loss = ctc_loss(logp, out_lens, targets, target_lengths,
                                 reduction="sum", zero_infinity=True)
@@ -119,7 +131,8 @@ class Trainer:
         return step_fn
 
     def train_step(self, state: TrainState, batch: Batch) -> Tuple[TrainState, jax.Array]:
-        key = (batch.inputs.shape, batch.targets.shape)
+        x = batch.inputs if batch.inputs is not None else batch.audio
+        key = (x.shape, batch.targets.shape)
         if key not in self._compiled:
             sh = self.state_shardings(state)
             bsh = batch_sharding(self.mesh)
@@ -134,29 +147,32 @@ class Trainer:
 
     def put_batch(self, batch: Batch):
         bsh = batch_sharding(self.mesh)
+        x = batch.inputs if batch.inputs is not None else batch.audio
         return tuple(jax.device_put(a, bsh) for a in
-                     (batch.inputs, batch.input_lengths.astype(np.int32),
+                     (x, batch.input_lengths.astype(np.int32),
                       batch.targets.astype(np.int32),
                       batch.target_lengths.astype(np.int32)))
 
     def eval_step(self, state: TrainState, batch: Batch):
-        key = batch.inputs.shape
+        x = batch.inputs if batch.inputs is not None else batch.audio
+        key = x.shape
         if key not in self._eval_compiled:
             sh = self.state_shardings(state)
             bsh = batch_sharding(self.mesh)
             model = self.model
 
             def fn(st: TrainState, inputs, input_lengths):
+                feats = self._features(inputs, input_lengths)
                 out, out_lens, _ = model.apply(
                     {"params": st.params, "batch_stats": st.batch_stats},
-                    inputs, input_lengths, train=False)
+                    feats, input_lengths, train=False)
                 return out, out_lens
 
             self._eval_compiled[key] = jax.jit(
                 fn, in_shardings=(sh, bsh, bsh),
                 out_shardings=(bsh, bsh))
         bsh = batch_sharding(self.mesh)
-        inputs = jax.device_put(batch.inputs, bsh)
+        inputs = jax.device_put(x, bsh)
         lens = jax.device_put(batch.input_lengths.astype(np.int32), bsh)
         return self._eval_compiled[key](state, inputs, lens)
 

@@ -31,9 +31,11 @@ def _pipelines(cfg: TrainConfig, labels: List[str], dp: int
 
     train_ds = SpectrogramDataset(cfg.data.spect, cfg.data.train_path, labels,
                                   normalize=True, aug_cfg=cfg.data.augmentation,
-                                  seed=cfg.seed)
+                                  seed=cfg.seed,
+                                  device_features=cfg.data.device_features)
     val_ds = SpectrogramDataset(cfg.data.spect, cfg.data.val_path, labels,
-                                normalize=True)
+                                normalize=True,
+                                device_features=cfg.data.device_features)
     n_proc = jax.process_count()
     if n_proc > 1:
         train_sampler = DistributedBucketSampler(
