@@ -75,6 +75,18 @@ class BatchWorker(threading.Thread):
 
     def _process(self, batch: List[_Request]) -> None:
         try:
+            # long audio goes through the chunked streaming path with RNN
+            # state carry (reference: inference.py:79-99); short requests
+            # are padded into one batch
+            if self.cfg.chunk_size_seconds > 0:
+                long_reqs = [r for r in batch
+                             if len(r.audio) > self.cfg.chunk_size_seconds
+                             * self.bundle.spect_cfg.sample_rate]
+                for r in long_reqs:
+                    self._process_chunked(r)
+                batch = [r for r in batch if r not in long_reqs]
+                if not batch:
+                    return
             spects = [self.extractor(r.audio) for r in batch]
             max_t = max(s.shape[1] for s in spects)
             max_t = ((max_t + 63) // 64) * 64  # bucket to bound recompiles
@@ -92,6 +104,26 @@ class BatchWorker(threading.Thread):
             for req in batch:
                 req.error = str(e)
                 req.event.set()
+
+    def _process_chunked(self, req: _Request) -> None:
+        try:
+            carry = None
+            outs = []
+            for chunk in self.extractor.chunks(req.audio,
+                                               self.cfg.chunk_size_seconds):
+                if len(chunk) == 0:
+                    continue
+                spect = self.extractor(chunk)[None]
+                lens = np.array([spect.shape[2]], np.int32)
+                probs, _, carry = self.bundle.forward(spect, lens, carry)
+                outs.append(np.asarray(probs))
+            all_out = np.concatenate(outs, axis=1)
+            decoded, offsets = self.decoder.decode(all_out)
+            req.result = decode_results([decoded[0]], [offsets[0]])
+            req.event.set()
+        except Exception as e:
+            req.error = str(e)
+            req.event.set()
 
 
 def make_handler(worker: BatchWorker, cfg: ServerConfig):

@@ -56,15 +56,24 @@ class CheckpointHandler:
 
     # -- save ----------------------------------------------------------
 
-    def save(self, state: TrainState, metrics: Dict[str, float]) -> None:
+    def save(self, state: TrainState, metrics: Dict[str, float],
+             extra: Optional[Dict[str, Any]] = None,
+             last_only: bool = False) -> None:
+        """Save best-k + last. ``extra`` carries host-side state (e.g. the
+        sampler's mid-epoch start_index, reference parity:
+        data_loader.py:293-317). ``last_only`` is used for mid-epoch saves
+        that should not compete in the best-k ranking."""
         step = int(np.asarray(state.step))
         tree = _state_to_tree(state)
         args = ocp.args.Composite(
             state=ocp.args.StandardSave(tree),
             metrics=ocp.args.JsonSave({k: float(v) for k, v in metrics.items()}),
+            extra=ocp.args.JsonSave(dict(extra or {})),
         )
-        self.best.save(step, args=args, metrics={k: float(v) for k, v in metrics.items()})
-        if self.save_last:
+        if not last_only:
+            self.best.save(step, args=args,
+                           metrics={k: float(v) for k, v in metrics.items()})
+        if self.save_last or last_only:
             self.last.save(step, args=args)
         self.best.wait_until_finished()
         self.last.wait_until_finished()
@@ -87,6 +96,18 @@ class CheckpointHandler:
         restored = mgr.restore(
             step, args=ocp.args.Composite(state=ocp.args.StandardRestore(tree)))
         return _tree_to_state(restored["state"])
+
+    def restore_extra(self, step: Optional[int] = None) -> Dict[str, Any]:
+        """Host-side extras (sampler state etc.) from the last checkpoint."""
+        step = step if step is not None else self.last.latest_step()
+        if step is None:
+            return {}
+        try:
+            restored = self.last.restore(
+                step, args=ocp.args.Composite(extra=ocp.args.JsonRestore()))
+            return dict(restored.get("extra") or {})
+        except Exception:
+            return {}
 
     def close(self) -> None:
         self.best.close()

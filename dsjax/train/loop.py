@@ -242,6 +242,16 @@ class Trainer:
                     jax.block_until_ready(loss)
                     jax.profiler.stop_trace()
                 losses.append(loss)
+                # mid-epoch checkpointing with sampler position, enabling
+                # mid-epoch elastic resume (reference: samplers' start_index)
+                every = cfg.checkpoint.every_n_steps
+                if (checkpoint_handler is not None and every > 0
+                        and (i + 1) % every == 0 and (i + 1) < n_train):
+                    checkpoint_handler.save(
+                        state, {"loss": float(loss)},
+                        extra={"start_index": train_pipeline.sampler.start_index + i + 1,
+                               "epoch": epoch},
+                        last_only=True)
                 if (i + 1) % max(1, cfg.trainer.log_every_n_steps) == 0:
                     loss_val = float(loss)  # device sync only when logging
                     timer.tick(batch.size * max(1, cfg.trainer.log_every_n_steps))
@@ -262,8 +272,10 @@ class Trainer:
                 metrics_logger.log(int(np.asarray(state.step)), wer=wer, cer=cer,
                                    mean_loss=mean_loss, epoch=epoch)
             if checkpoint_handler is not None and cfg.trainer.enable_checkpointing:
-                checkpoint_handler.save(state, {"wer": wer, "cer": cer,
-                                                "loss": mean_loss, "epoch": epoch})
+                # save with epoch+1 so auto-resume continues at the NEXT epoch
+                checkpoint_handler.save(
+                    state.replace(epoch=jnp.asarray(epoch + 1, jnp.int32)),
+                    {"wer": wer, "cer": cer, "loss": mean_loss, "epoch": epoch})
             # sampler start_index reset after completing an epoch
             train_pipeline.sampler.start_index = 0
         return state

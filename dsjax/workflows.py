@@ -68,15 +68,20 @@ def train(cfg: TrainConfig) -> None:
                                 cfg=cfg, labels=labels,
                                 verbose=cfg.checkpoint.verbose)
     state = trainer.init_state()
+    resume_extra = {}
     if cfg.load_auto_checkpoint:
         latest = find_latest_checkpoint_dir(ckpt_dir)
         if latest is not None:
             try:
                 state = handler.restore(state, best=False)
+                resume_extra = handler.restore_extra()
                 print(f"auto-resumed from step {int(np.asarray(state.step))}")
             except FileNotFoundError:
                 pass
     train_pipe, val_pipe = _pipelines(cfg, labels, trainer.dp)
+    if resume_extra.get("start_index"):
+        # mid-epoch resume: skip the bins already consumed this epoch
+        train_pipe.sampler.start_index = int(resume_extra["start_index"])
     trainer.fit(train_pipe, val_pipe, checkpoint_handler=handler, state=state)
     handler.close()
 

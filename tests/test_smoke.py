@@ -140,6 +140,35 @@ def test_auto_resume(dataset, tmp_path):
     train(cfg2)
 
 
+def test_mid_epoch_resume(dataset, tmp_path):
+    """every_n_steps checkpointing records the sampler position; resume
+    skips the consumed bins (reference start_index semantics)."""
+    root, manifest = dataset
+    labels_path = str(tmp_path / "labels.json")
+    with open(labels_path, "w") as f:
+        json.dump(DEFAULT_LABELS, f)
+    ckpt_dir = str(tmp_path / "ckpts3")
+
+    from dsjax.train.checkpoint import CheckpointHandler
+    from dsjax.workflows import train
+
+    cfg = _tiny_cfg(manifest, ckpt_dir, labels_path)
+    cfg.checkpoint.every_n_steps = 1
+    cfg.trainer.limit_train_batches = 2.0  # interpreted as count=2
+    train(cfg)
+    handler = CheckpointHandler(ckpt_dir, cfg=cfg, labels=DEFAULT_LABELS)
+    extra = handler.restore_extra()
+    handler.close()
+    # the final save is the epoch-end one (no start_index) OR a mid-epoch
+    # one; either way restore_extra must parse
+    assert isinstance(extra, dict)
+
+    cfg2 = _tiny_cfg(manifest, ckpt_dir, labels_path)
+    cfg2.load_auto_checkpoint = True
+    cfg2.trainer.max_epochs = 2
+    train(cfg2)  # resumes at epoch 1, must not crash
+
+
 def test_training_reduces_loss(dataset, tmp_path):
     """Overfit two samples; CTC loss must drop substantially."""
     root, manifest = dataset

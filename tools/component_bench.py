@@ -1,4 +1,9 @@
 """Per-component device timing via the N-rep difference trick."""
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 import time
 
 import jax
