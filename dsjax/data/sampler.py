@@ -15,7 +15,7 @@ identical.
 from __future__ import annotations
 
 import math
-from typing import Iterator, List, Sequence
+from typing import Iterator, List
 
 import numpy as np
 

@@ -15,8 +15,6 @@ import os
 import tarfile
 import urllib.request
 import zipfile
-from pathlib import Path
-from typing import Optional
 
 import numpy as np
 

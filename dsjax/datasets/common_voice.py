@@ -14,7 +14,6 @@ import csv
 import os
 import shutil
 import subprocess
-from typing import List
 
 from dsjax.data.manifest import create_manifest
 from dsjax.datasets.common import add_data_opts, convert_to_wav, download, extract

@@ -10,7 +10,6 @@ from __future__ import annotations
 import argparse
 import os
 import shutil
-from pathlib import Path
 from typing import Dict, List
 
 from dsjax.data.manifest import create_manifest

@@ -13,7 +13,6 @@ import re
 import tarfile
 import tempfile
 import urllib.request
-from typing import Optional
 
 from dsjax.data.manifest import create_manifest
 from dsjax.datasets.common import add_data_opts, convert_to_wav

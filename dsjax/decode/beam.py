@@ -21,7 +21,7 @@ host-side decode off the critical path.
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -90,15 +90,28 @@ class BeamCTCDecoder:
         probs = np.asarray(probs, dtype=np.float32)
         b, t, c = probs.shape
         sizes = [t] * b if sizes is None else [int(s) for s in np.asarray(sizes)]
+
+        def decode_one(i: int):
+            if self._cpp is not None:
+                # ctypes releases the GIL during the native call, so the
+                # thread pool gives real parallelism (num_processes parity
+                # with ctcdecode's worker threads, reference decoder.py:65)
+                return self._cpp.decode(probs[i, :sizes[i]], self.alpha,
+                                        self.beta, self.beam_width,
+                                        self.cutoff_top_n, self.cutoff_prob)
+            return self._decode_one(probs[i, :sizes[i]])
+
+        if self._cpp is not None and self.num_processes > 1 and b > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(min(self.num_processes, b)) as pool:
+                results = list(pool.map(decode_one, range(b)))
+        else:
+            results = [decode_one(i) for i in range(b)]
+
         all_strings: List[List[str]] = []
         all_offsets: List[List[np.ndarray]] = []
-        for i in range(b):
-            if self._cpp is not None:
-                hyps = self._cpp.decode(probs[i, :sizes[i]], self.alpha, self.beta,
-                                        self.beam_width, self.cutoff_top_n,
-                                        self.cutoff_prob)
-            else:
-                hyps = self._decode_one(probs[i, :sizes[i]])
+        for hyps in results:
             strings = []
             offsets = []
             for ids, offs, _score in hyps:

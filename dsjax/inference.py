@@ -10,9 +10,8 @@ fixed device memory (inference.py:79-99).
 from __future__ import annotations
 
 import dataclasses
-import json
 import os
-from typing import Any, Dict, Iterator, List, Optional, Tuple
+from typing import Any, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -20,8 +19,8 @@ import numpy as np
 
 from dsjax.audio.features import FeatureExtractor
 from dsjax.audio.io import load_audio
-from dsjax.config import (BiDirectionalConfig, DecoderType, LMConfig,
-                          SpectConfig, TrainConfig, from_dict)
+from dsjax.config import (DecoderType, LMConfig, SpectConfig, TrainConfig,
+                          from_dict)
 from dsjax.decode.beam import BeamCTCDecoder
 from dsjax.decode.greedy import GreedyDecoder
 from dsjax.labels import DEFAULT_LABELS
@@ -80,11 +79,12 @@ def load_model(model_path: str, precision: int = 32) -> ModelBundle:
     handler = CheckpointHandler(model_path, cfg=cfg, labels=labels)
     try:
         state = handler.restore(state, best=True)
-    except (FileNotFoundError, Exception) as e:  # fall back to last
+    except FileNotFoundError as e:  # no best checkpoint -> fall back to last
         try:
             state = handler.restore(state, best=False)
-        except Exception:
-            raise FileNotFoundError(f"no restorable checkpoint in {model_path}") from e
+        except FileNotFoundError:
+            raise FileNotFoundError(
+                f"no restorable checkpoint in {model_path}") from e
     model = DeepSpeech2(num_classes=len(labels), spect_cfg=cfg.data.spect,
                         model_cfg=cfg.model, dtype=dtype)
     variables = {"params": state.params, "batch_stats": state.batch_stats}

@@ -27,7 +27,7 @@ TPU-first design decisions (not a translation):
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -183,7 +183,7 @@ class RecurrentLayer(nn.Module):
     use_pallas: Optional[bool] = None
 
     def _pallas_enabled(self) -> bool:
-        if self.rnn_type != RNNType.lstm:
+        if self.rnn_type not in (RNNType.lstm, RNNType.gru):
             return False
         if self.use_pallas is not None:
             return self.use_pallas
@@ -228,6 +228,14 @@ class RecurrentLayer(nn.Module):
                 y, h_t, c_t = lstm_scan(xp, mask.astype(jnp.float32),
                                         w_hh_c, b_hh_c, carry0[0], carry0[1])
                 return y, (h_t, c_t)
+
+            if spec.kind == RNNType.gru and pallas_ok:
+                from dsjax.ops.gru_pallas import gru_scan
+
+                carry0 = tuple(c.astype(dt) for c in carry0)
+                y, h_t = gru_scan(xp, mask.astype(jnp.float32),
+                                  w_hh_c, b_hh_c, carry0[0])
+                return y, (h_t,)
 
             if spec.kind == RNNType.lstm:
                 def step(carry, inp):

@@ -19,7 +19,7 @@ import jax
 import numpy as np
 import orbax.checkpoint as ocp
 
-from dsjax.config import TrainConfig, from_dict, to_dict
+from dsjax.config import TrainConfig, to_dict
 from dsjax.train.state import TrainState
 
 

@@ -10,7 +10,7 @@ steps-per-epoch constant baked into the compiled step.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
