@@ -143,10 +143,15 @@ class TrainerConfig:
     accumulate_grad_batches: int = 1
     enable_checkpointing: bool = True
     deterministic: bool = False
+    # NaN/Inf guard (reference passthrough parity: TrainerConf.detect_anomaly,
+    # lightning_config.py:63): enables jax_debug_nans so the first NaN raises
+    # with the offending op's trace.
+    detect_anomaly: bool = False
     # TPU mesh axes: data-parallel x model-parallel. -1 on data = use all.
     mesh_data: int = -1
     mesh_model: int = 1
-    matmul_precision: str = "bfloat16"  # 'bfloat16' | 'float32' | 'tensorfloat32'
+    # '' = backend default; else 'bfloat16' | 'tensorfloat32' | 'float32'
+    matmul_precision: str = ""
     donate_state: bool = True
     # profiling (reference passthrough parity: lightning TrainerConf.profiler)
     profile: bool = False               # capture an XProf trace of a few steps

@@ -48,6 +48,12 @@ class Trainer:
                  mesh: Optional[Mesh] = None):
         self.cfg = cfg
         self.labels = list(labels)
+        if cfg.trainer.matmul_precision:
+            jax.config.update("jax_default_matmul_precision",
+                              cfg.trainer.matmul_precision)
+        if cfg.trainer.detect_anomaly:
+            # reference parity: Trainer(detect_anomaly=...) passthrough
+            jax.config.update("jax_debug_nans", True)
         dtype = jnp.bfloat16 if cfg.trainer.precision == 16 else jnp.float32
         self.model = DeepSpeech2(num_classes=len(labels), spect_cfg=cfg.data.spect,
                                  model_cfg=cfg.model, dtype=dtype)
@@ -129,6 +135,75 @@ class Trainer:
             return new_state, loss
 
         return step_fn
+
+    # -- gradient accumulation (reference parity: Lightning
+    # accumulate_grad_batches) ------------------------------------------
+
+    def _grad_step_fn(self):
+        model, dp = self.model, self.dp
+
+        def fn(state: TrainState, inputs, input_lengths, targets, target_lengths):
+            feats = self._features(inputs, input_lengths)
+
+            def loss_fn(params):
+                (out, out_lens, _), mut = model.apply(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    feats, input_lengths, train=True, mutable=["batch_stats"])
+                logp = jax.nn.log_softmax(out.astype(jnp.float32), axis=-1)
+                loss = ctc_loss(logp, out_lens, targets, target_lengths,
+                                reduction="sum", zero_infinity=True)
+                return loss / dp, mut["batch_stats"]
+
+            (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+            return grads, stats, loss
+
+        return fn
+
+    def grad_step(self, state: TrainState, batch: Batch):
+        x = batch.inputs if batch.inputs is not None else batch.audio
+        key = ("grad", x.shape, batch.targets.shape)
+        if key not in self._compiled:
+            sh = self.state_shardings(state)
+            bsh = batch_sharding(self.mesh)
+            self._compiled[key] = jax.jit(
+                self._grad_step_fn(),
+                in_shardings=(sh, bsh, bsh, bsh, bsh),
+                out_shardings=(sh.params, sh.batch_stats,
+                               NamedSharding(self.mesh, P())))
+        return self._compiled[key](state, *self.put_batch(batch))
+
+    def apply_grads(self, state: TrainState, grads, n_accum: int) -> TrainState:
+        if "apply" not in self._compiled:
+            sh = self.state_shardings(state)
+            tx, optim_cfg = self.tx, self.cfg.optim
+
+            def fn(state: TrainState, grads, scale):
+                grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
+                opt_state = set_lr(state.opt_state, epoch_lr(optim_cfg, state.epoch))
+                updates, opt_state = tx.update(grads, opt_state, state.params)
+                params = jax.tree_util.tree_map(lambda p, u: p + u,
+                                                state.params, updates)
+                return TrainState(params, state.batch_stats, opt_state,
+                                  state.step + 1, state.epoch)
+
+            self._compiled["apply"] = jax.jit(
+                fn, in_shardings=(sh, sh.params, None), out_shardings=sh)
+        return self._compiled["apply"](state, grads,
+                                       jnp.float32(1.0 / max(1, n_accum)))
+
+    def train_step_accum(self, state: TrainState, batches: List[Batch]
+                         ) -> Tuple[TrainState, jax.Array]:
+        """One optimizer step from several micro-batches (grads averaged)."""
+        acc = None
+        losses = []
+        for b in batches:
+            grads, stats, loss = self.grad_step(state, b)
+            state = state.replace(batch_stats=stats)
+            acc = grads if acc is None else jax.tree_util.tree_map(
+                jnp.add, acc, grads)
+            losses.append(loss)
+        state = self.apply_grads(state, acc, len(batches))
+        return state, losses[-1]
 
     def train_step(self, state: TrainState, batch: Batch) -> Tuple[TrainState, jax.Array]:
         x = batch.inputs if batch.inputs is not None else batch.audio
@@ -230,13 +305,22 @@ class Trainer:
             t0 = time.time()
             losses = []
             timer.start()
+            accum = max(1, cfg.trainer.accumulate_grad_batches)
+            micro: List[Batch] = []
             for i, batch in enumerate(train_pipeline):
                 if i >= n_train:
                     break
                 global_step = int(np.asarray(state.step)) if cfg.trainer.profile else -1
                 if cfg.trainer.profile and global_step == cfg.trainer.profile_start_step:
                     jax.profiler.start_trace(cfg.trainer.profile_dir)
-                state, loss = self.train_step(state, batch)
+                if accum > 1:
+                    micro.append(batch)
+                    if len(micro) < accum and i + 1 < n_train:
+                        continue
+                    state, loss = self.train_step_accum(state, micro)
+                    micro = []
+                else:
+                    state, loss = self.train_step(state, batch)
                 if (cfg.trainer.profile and global_step
                         == cfg.trainer.profile_start_step + cfg.trainer.profile_num_steps):
                     jax.block_until_ready(loss)
