@@ -170,6 +170,43 @@ def spec_augment(spec: np.ndarray, rng: Optional[np.random.Generator] = None,
 # Waveform augmentations
 # ---------------------------------------------------------------------------
 
+def spec_augment_device(spec, valid_frames, key, freq_mask_param: int = 27,
+                        time_mask_param: int = 70, n_freq_masks: int = 1,
+                        n_time_masks: int = 1):
+    """Vectorized on-device SpecAugment masks for a (B, F, T) batch.
+
+    Runs INSIDE the compiled train step (pairs with device_features mode);
+    per-sample mask positions come from the given jax PRNG key. The spline
+    time warp is host-only (dsjax.audio.augment.time_warp) — this device
+    variant applies frequency and time masks only, which dominate
+    SpecAugment's effect (Park et al. 2019, Table 8 ablations).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    b, f_dim, t_dim = spec.shape
+    keys = jax.random.split(key, 4)
+    out = spec
+
+    def masks(key_w, key_p, n, param, dim, limit):
+        # n masks of width U[0, param) at positions U[0, limit - w]
+        w = jax.random.uniform(key_w, (b, n)) * param
+        w = jnp.floor(w)
+        pos_max = jnp.maximum(limit[:, None] - w, 1.0)
+        p0 = jnp.floor(jax.random.uniform(key_p, (b, n)) * pos_max)
+        idx = jnp.arange(dim)[None, None, :]
+        inside = (idx >= p0[:, :, None]) & (idx < (p0 + w)[:, :, None])
+        return ~jnp.any(inside, axis=1)  # (B, dim) True = keep
+
+    f_limit = jnp.full((b,), f_dim, jnp.float32)
+    keep_f = masks(keys[0], keys[1], n_freq_masks, freq_mask_param, f_dim, f_limit)
+    keep_t = masks(keys[2], keys[3], n_time_masks, time_mask_param, t_dim,
+                   valid_frames.astype(jnp.float32))
+    out = out * keep_f[:, :, None].astype(spec.dtype)
+    out = out * keep_t[:, None, :].astype(spec.dtype)
+    return out
+
+
 class NoiseInjector:
     """Mix random noise-file sections into utterances
     (reference: data_loader.py:97-128)."""

@@ -63,6 +63,10 @@ class SpectConfig:
 class AugmentationConfig:
     speed_volume_perturb: bool = False  # random tempo/gain perturbation
     spec_augment: bool = False          # SpecAugment on spectrograms
+    # apply SpecAugment freq/time masks ON DEVICE inside the train step
+    # (keeps the device_features fast path; the spline time-warp is
+    # host-only and skipped in this mode)
+    spec_augment_device: bool = False
     noise_dir: str = ""                 # dir of noise wavs ('' disables)
     noise_prob: float = 0.4             # per-sample probability of noise mix
     noise_min: float = 0.0

@@ -141,8 +141,11 @@ class SpectrogramDataset:
         self.spect_cfg = spect_cfg
         self.extractor = FeatureExtractor(spect_cfg, normalize=normalize)
         self.augment = AugmentPipeline(aug_cfg, spect_cfg, seed=seed) if aug_cfg else None
+        # host SpecAugment needs the spectrogram; its on-device variant
+        # (spec_augment_device) keeps the raw-audio fast path
         self.device_features = device_features and not (
-            aug_cfg is not None and aug_cfg.spec_augment)
+            aug_cfg is not None and aug_cfg.spec_augment
+            and not aug_cfg.spec_augment_device)
 
     def __len__(self) -> int:
         return len(self.ids)

@@ -110,11 +110,24 @@ class Trainer:
                                    normalize=True)
         return inputs
 
+    def _device_augment(self, feats, input_lengths, step):
+        """On-device SpecAugment masks (see AugmentationConfig
+        .spec_augment_device); keyed by the global step for determinism."""
+        aug = self.cfg.data.augmentation
+        if not (aug.spec_augment and aug.spec_augment_device):
+            return feats
+        from dsjax.audio.augment import spec_augment_device
+
+        key = jax.random.fold_in(jax.random.PRNGKey(self.cfg.seed), step)
+        return spec_augment_device(feats, input_lengths, key)
+
     def _train_step_fn(self):
         model, tx, optim_cfg, dp = self.model, self.tx, self.cfg.optim, self.dp
 
         def step_fn(state: TrainState, inputs, input_lengths, targets, target_lengths):
             feats = self._features(inputs, input_lengths)
+            if inputs.ndim == 2:  # raw-audio mode: augment on device
+                feats = self._device_augment(feats, input_lengths, state.step)
 
             def loss_fn(params):
                 (out, out_lens, _), mut = model.apply(
@@ -144,6 +157,8 @@ class Trainer:
 
         def fn(state: TrainState, inputs, input_lengths, targets, target_lengths):
             feats = self._features(inputs, input_lengths)
+            if inputs.ndim == 2:
+                feats = self._device_augment(feats, input_lengths, state.step)
 
             def loss_fn(params):
                 (out, out_lens, _), mut = model.apply(
@@ -326,6 +341,18 @@ class Trainer:
                     jax.block_until_ready(loss)
                     jax.profiler.stop_trace()
                 losses.append(loss)
+                # mid-epoch validation (Lightning val_check_interval parity)
+                vci = cfg.trainer.val_check_interval
+                if 0 < vci < 1.0:
+                    every_val = max(1, int(n_train * vci))
+                    if (i + 1) % every_val == 0 and (i + 1) < n_train:
+                        wer_i, cer_i = self.validate(state, val_pipeline,
+                                                     max_batches=n_val)
+                        log_fn(f"epoch {epoch} step {i + 1}: "
+                               f"wer {wer_i:.2f} cer {cer_i:.2f}")
+                        if metrics_logger is not None:
+                            metrics_logger.log(int(np.asarray(state.step)),
+                                               wer=wer_i, cer=cer_i, epoch=epoch)
                 # mid-epoch checkpointing with sampler position, enabling
                 # mid-epoch elastic resume (reference: samplers' start_index)
                 every = cfg.checkpoint.every_n_steps

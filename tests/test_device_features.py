@@ -96,3 +96,55 @@ def test_specaugment_forces_host_features(dataset_dir):
     assert not ds.device_features
     spect, transcript = ds[0]
     assert spect.ndim == 2
+    # ... unless the on-device variant is requested
+    ds2 = SpectrogramDataset(SpectConfig(), dataset_dir, DEFAULT_LABELS,
+                             aug_cfg=AugmentationConfig(
+                                 spec_augment=True, spec_augment_device=True),
+                             device_features=True)
+    assert ds2.device_features
+
+
+def test_device_spec_augment_masks():
+    import jax
+
+    from dsjax.audio.augment import spec_augment_device
+
+    rng = np.random.default_rng(0)
+    spec = np.abs(rng.standard_normal((3, 64, 100))).astype(np.float32) + 0.5
+    valid = np.array([100, 60, 100], np.int32)
+    out = np.asarray(spec_augment_device(spec, valid, jax.random.PRNGKey(1),
+                                         freq_mask_param=20, time_mask_param=30))
+    assert out.shape == spec.shape
+    # masks zero contiguous bands per sample
+    zero_rows = [(np.all(out[b] == 0, axis=1)).sum() for b in range(3)]
+    zero_cols = [(np.all(out[b] == 0, axis=0)).sum() for b in range(3)]
+    assert any(z > 0 for z in zero_rows) or any(z > 0 for z in zero_cols)
+    # deterministic per key
+    out2 = np.asarray(spec_augment_device(spec, valid, jax.random.PRNGKey(1),
+                                          freq_mask_param=20, time_mask_param=30))
+    np.testing.assert_array_equal(out, out2)
+
+
+def test_train_step_with_device_augment(dataset_dir):
+    cfg = compose(TrainConfig, [
+        "model.hidden_size=16", "model.hidden_layers=1",
+        "trainer.precision=32", "data.batch_size=4",
+        "data.bucket_frames=16", "data.bucket_labels=4",
+        "data.augmentation.spec_augment=true",
+        "data.augmentation.spec_augment_device=true",
+    ])
+    ds = SpectrogramDataset(cfg.data.spect, dataset_dir, DEFAULT_LABELS,
+                            aug_cfg=cfg.data.augmentation, device_features=True)
+    assert ds.device_features
+    pipe = DataPipeline(ds, OrderedBatchSampler(len(ds), 4), bucket_frames=16,
+                        bucket_labels=4, num_workers=1)
+    batch = next(iter(pipe))
+    import jax as _jax
+
+    from dsjax.parallel.mesh import make_mesh
+
+    trainer = Trainer(cfg, DEFAULT_LABELS,
+                      mesh=make_mesh(1, 1, devices=_jax.devices()[:1]))
+    state = trainer.init_state()
+    state, loss = trainer.train_step(state, batch)
+    assert np.isfinite(float(loss))
