@@ -30,23 +30,50 @@ from dsjax.labels import LabelMap
 NEG = -1e30
 
 
-@functools.partial(jax.jit, static_argnames=("beam_width", "blank"))
+_P1 = jnp.int32(1000003)
+_P2 = jnp.int32(10007)
+
+
+def _seg_logaddexp(flags, values):
+    """Segmented logsumexp along the last axis: runs restart where flags=1;
+    each position holds the sum of its run's prefix (run totals at run ends)."""
+    def combine(a, b):
+        fa, va = a
+        fb, vb = b
+        v = jnp.where(fb > 0, vb, jnp.logaddexp(va, vb))
+        return (jnp.maximum(fa, fb) * 0 + jnp.where(fb > 0, fb, fa), v)
+
+    _, out = jax.lax.associative_scan(combine, (flags, values), axis=-1)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("beam_width", "blank", "merge"))
 def _beam_scan(log_probs: jnp.ndarray, sizes: jnp.ndarray, beam_width: int,
-               blank: int):
+               blank: int, merge: bool = True):
     """log_probs (B, T, C) -> (backptr (T, B, W), emit (T, B, W),
-    final total scores (B, W))."""
+    final total scores (B, W)).
+
+    merge=True performs EXACT prefix merging: every candidate carries two
+    independent rolling hashes of its collapsed prefix; candidates are
+    sorted by hash and equal-prefix runs have their (p_b, p_nb) masses
+    combined with a segmented logsumexp before top-k. Collision probability
+    is ~2^-64 per pair."""
     b_dim, t_dim, c_dim = log_probs.shape
     w = beam_width
+    k_dim = w * (c_dim + 1)
     lp = jnp.transpose(log_probs, (1, 0, 2))            # (T, B, C)
 
     p_b0 = jnp.full((b_dim, w), NEG).at[:, 0].set(0.0)  # only beam 0 alive
     p_nb0 = jnp.full((b_dim, w), NEG)
     last0 = jnp.full((b_dim, w), -1, jnp.int32)
+    h1_0 = jnp.ones((b_dim, w), jnp.int32)
+    h2_0 = jnp.ones((b_dim, w), jnp.int32)
 
     classes = jnp.arange(c_dim)
+    slot_iota = jnp.arange(w)[None, :]
 
     def step(carry, inp):
-        p_b, p_nb, last = carry
+        p_b, p_nb, last, h1, h2 = carry
         lp_t, t = inp
         total = jnp.logaddexp(p_b, p_nb)                # (B, W)
 
@@ -55,7 +82,6 @@ def _beam_scan(log_probs: jnp.ndarray, sizes: jnp.ndarray, beam_width: int,
         lp_last = jnp.take_along_axis(lp_t, jnp.maximum(last, 0), axis=1)
         stay_b = total + lp_blank
         stay_nb = jnp.where(last >= 0, p_nb + lp_last, NEG)
-        stay_total = jnp.logaddexp(stay_b, stay_nb)     # (B, W)
 
         # extend with char c: from total if c != last else from p_b only
         from_score = jnp.where(last[:, :, None] == classes[None, None, :],
@@ -63,32 +89,71 @@ def _beam_scan(log_probs: jnp.ndarray, sizes: jnp.ndarray, beam_width: int,
         ext = from_score + lp_t[:, None, :]             # (B, W, C)
         ext = ext.at[:, :, blank].set(NEG)
 
-        # candidate pool: W stay + W*C extend
-        cand = jnp.concatenate([stay_total, ext.reshape(b_dim, w * c_dim)],
-                               axis=1)                  # (B, W + W*C)
-        top_scores, top_idx = jax.lax.top_k(cand, w)    # (B, W)
+        # candidate fields, pool layout [W stays | W*C extends]
+        ext_h1 = (h1[:, :, None] * _P1 + (classes + 1)[None, None, :])
+        ext_h2 = (h2[:, :, None] * _P2 + (classes + 1)[None, None, :])
+        cand_b = jnp.concatenate([stay_b, jnp.full((b_dim, w * c_dim), NEG)], 1)
+        cand_nb = jnp.concatenate([stay_nb, ext.reshape(b_dim, -1)], 1)
+        cand_h1 = jnp.concatenate([h1, ext_h1.reshape(b_dim, -1)], 1)
+        cand_h2 = jnp.concatenate([h2, ext_h2.reshape(b_dim, -1)], 1)
+        cand_last = jnp.concatenate(
+            [last, jnp.broadcast_to(classes[None, None, :],
+                                    (b_dim, w, c_dim)).reshape(b_dim, -1)], 1)
+        idx_flat = jnp.arange(k_dim)[None, :]
+        cand_parent = jnp.where(idx_flat < w, idx_flat, (idx_flat - w) // c_dim)
+        cand_parent = jnp.broadcast_to(cand_parent, (b_dim, k_dim))
+        cand_char = jnp.where(idx_flat < w, -1, (idx_flat - w) % c_dim)
+        cand_char = jnp.broadcast_to(cand_char, (b_dim, k_dim)).astype(jnp.int32)
 
-        is_stay = top_idx < w
-        parent = jnp.where(is_stay, top_idx, (top_idx - w) // c_dim)
-        char = jnp.where(is_stay, -1, (top_idx - w) % c_dim).astype(jnp.int32)
+        if merge:
+            # sort by h1 (equal prefixes become adjacent), segment-combine
+            order = jnp.argsort(cand_h1, axis=1)
+            g = lambda a: jnp.take_along_axis(a, order, axis=1)
+            s_b, s_nb = g(cand_b), g(cand_nb)
+            s_h1, s_h2 = g(cand_h1), g(cand_h2)
+            s_last, s_parent, s_char = g(cand_last), g(cand_parent), g(cand_char)
+            prev_h1 = jnp.pad(s_h1, ((0, 0), (1, 0)))[:, :-1]
+            prev_h2 = jnp.pad(s_h2, ((0, 0), (1, 0)))[:, :-1]
+            first = ((idx_flat == 0) | (s_h1 != prev_h1)
+                     | (s_h2 != prev_h2)).astype(jnp.float32)
+            m_b = _seg_logaddexp(first, s_b)
+            m_nb = _seg_logaddexp(first, s_nb)
+            # run END positions carry the full merged mass
+            nxt_first = jnp.pad(first, ((0, 0), (0, 1)),
+                                constant_values=1.0)[:, 1:]
+            is_end = nxt_first > 0
+            m_total = jnp.where(is_end, jnp.logaddexp(m_b, m_nb), NEG)
+            top_scores, top_idx = jax.lax.top_k(m_total, w)
+            take = lambda a: jnp.take_along_axis(a, top_idx, axis=1)
+            new_p_b, new_p_nb = take(m_b), take(m_nb)
+            new_last, new_h1, new_h2 = take(s_last), take(s_h1), take(s_h2)
+            parent, char = take(s_parent), take(s_char)
+        else:
+            cand_total = jnp.logaddexp(cand_b, cand_nb)
+            top_scores, top_idx = jax.lax.top_k(cand_total, w)
+            take = lambda a: jnp.take_along_axis(a, top_idx, axis=1)
+            new_p_b, new_p_nb = take(cand_b), take(cand_nb)
+            new_last, new_h1, new_h2 = take(cand_last), take(cand_h1), take(cand_h2)
+            parent, char = take(cand_parent), take(cand_char)
 
-        take = lambda a: jnp.take_along_axis(a, parent, axis=1)
-        new_p_b = jnp.where(is_stay, take(stay_b), NEG)
-        new_p_nb = jnp.where(is_stay, take(stay_nb),
-                             top_scores)                # extends are pure nb
-        new_last = jnp.where(is_stay, take(last), char)
+        # dead beams must not alias live prefixes
+        dead = top_scores <= NEG / 2
+        new_h1 = jnp.where(dead, -(slot_iota + 2), new_h1)
+        new_h2 = jnp.where(dead, -(slot_iota + 2), new_h2)
 
         # frames past each utterance's length leave the state unchanged
         act = (t < sizes)[:, None]
         p_b = jnp.where(act, new_p_b, p_b)
         p_nb = jnp.where(act, new_p_nb, p_nb)
         last = jnp.where(act, new_last, last)
-        bp = jnp.where(act, parent, jnp.arange(w)[None, :])
+        h1 = jnp.where(act, new_h1, h1)
+        h2 = jnp.where(act, new_h2, h2)
+        bp = jnp.where(act, parent, slot_iota)
         em = jnp.where(act, char, -1)
-        return (p_b, p_nb, last), (bp.astype(jnp.int32), em)
+        return (p_b, p_nb, last, h1, h2), (bp.astype(jnp.int32), em)
 
-    (p_b, p_nb, _), (backptr, emit) = jax.lax.scan(
-        step, (p_b0, p_nb0, last0), (lp, jnp.arange(t_dim)))
+    (p_b, p_nb, *_), (backptr, emit) = jax.lax.scan(
+        step, (p_b0, p_nb0, last0, h1_0, h2_0), (lp, jnp.arange(t_dim)))
     return backptr, emit, jnp.logaddexp(p_b, p_nb)
 
 

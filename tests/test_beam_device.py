@@ -26,22 +26,32 @@ def test_matches_greedy_on_peaked():
     gs, goff = greedy.decode(probs)
     for i in range(len(seqs)):
         assert ds[i][0] == gs[i][0]
-        np.testing.assert_array_equal(doff[i][0], goff[i][0])
+        # offsets are valid emission times of SOME alignment of the merged
+        # prefix (prefix merging may pick a different member than greedy)
+        offs = np.asarray(doff[i][0])
+        assert len(offs) == len(gs[i][0])
+        assert np.all(np.diff(offs) > 0)
+        assert offs[0] >= 0 and offs[-1] < probs.shape[1]
 
 
-def test_matches_host_beam_top1():
+def test_matches_host_beam_top1_exhaustive():
+    """The device search merges prefixes exactly (dual rolling hashes +
+    segmented logsumexp). At a beam width wide enough to be exhaustive for
+    these tiny problems, it must match the host's exact prefix search on
+    arbitrary DIFFUSE posteriors. (At small widths the two may legitimately
+    diverge through different pruning paths — and the device search often
+    wins, since merged mass competes for slots earlier.)"""
     rng = np.random.default_rng(0)
-    host = BeamCTCDecoder(LABELS, beam_width=16, cutoff_top_n=len(LABELS))
-    dev = DeviceBeamDecoder(LABELS, beam_width=16)
-    agree = 0
-    for trial in range(6):
-        # sharp (ASR-like) posteriors: merge-free ~= exact prefix search
-        logits = rng.standard_normal((10, len(LABELS))) * 4.0
+    C = 4  # T=5, C=4: <= 364 reachable prefixes, so W=512 is exhaustive
+    labels = LABELS[:C]
+    host = BeamCTCDecoder(labels, beam_width=512, cutoff_top_n=C)
+    dev = DeviceBeamDecoder(labels, beam_width=512)
+    for trial in range(8):
+        logits = rng.standard_normal((5, C)) * 2.0
         probs = np.exp(logits) / np.exp(logits).sum(-1, keepdims=True)
         hs, _ = host.decode(probs[None].astype(np.float32))
         ds, _ = dev.decode(probs[None].astype(np.float32))
-        agree += hs[0][0] == ds[0][0]
-    assert agree >= 4, f"only {agree}/6 top-1 agreements with exact search"
+        assert hs[0][0] == ds[0][0], f"trial {trial}: {hs[0][0]!r} != {ds[0][0]!r}"
 
 
 def test_respects_sizes_and_batch():
