@@ -1,16 +1,18 @@
-"""Batched CTC beam search ON DEVICE (no LM): the whole search runs as one
-jitted lax.scan over time with (B, W) beam state, so serving/eval can decode
-a full batch without shipping posteriors to the host (the reference's
+"""Batched CTC PREFIX beam search ON DEVICE (no LM): the whole search runs
+as one jitted lax.scan over time with (B, W) beam state, so serving/eval can
+decode a full batch without shipping posteriors to the host (the reference's
 ctcdecode copies probs to CPU and fans out to threads, decoder.py:113-114).
 
-Algorithm: merge-free beam search (the standard GPU/TPU formulation, e.g.
-FlexCTC): each beam keeps (p_blank, p_nonblank, last_char); per step it
-expands to {stay} ∪ {extend with each c}, and the top-W candidates by total
-score survive. Hypotheses that collapse to the same prefix are NOT merged
-(exact prefix merging needs per-step sorting by prefix identity); with
-moderate beam widths this matches exact prefix search on peaked ASR
-posteriors and differs only on diffuse frames. The exact (merging) search
-lives in dsjax.decode.beam (host C++/Python) for LM decoding and parity.
+Algorithm: each beam keeps (p_blank, p_nonblank, last_char) plus two
+independent rolling hashes identifying its collapsed prefix. Per step the
+pool expands to {stay} ∪ {extend with each c}; candidates are sorted by
+hash and equal-prefix runs have their (p_b, p_nb) masses combined with a
+segmented logsumexp (EXACT prefix merging, collision odds ~2^-64), then the
+top-W merged prefixes survive. This is the same search as the host
+C++/Python decoder (dsjax.decode.beam) minus LM fusion — and at equal
+(non-exhaustive) widths it tends to find better hypotheses, because merged
+mass competes for beam slots a step earlier than in the dict-based
+formulation. Verified equal to the host search at exhaustive widths.
 
 Emission history is stored as per-step backpointers (parent slot, emitted
 char) and reconstructed on the host with one vectorized numpy backward pass.
