@@ -206,34 +206,20 @@ class RecurrentLayer(nn.Module):
                      and h_sz % 128 == 0 and b_dim % 8 == 0
                      and w_bytes <= 9 * 1024 * 1024)
 
-        dt = self.dtype
-        dir_names = ["fwd", "bwd"] if self.bidirectional else ["fwd"]
-        params = {
-            name: dict(
-                w_ih=self.param(f"{name}_w_ih", init, (self.input_size, g * h_sz)),
-                w_hh=self.param(f"{name}_w_hh", init, (h_sz, g * h_sz)),
-                b_ih=self.param(f"{name}_b_ih", init, (g * h_sz,)),
-                b_hh=self.param(f"{name}_b_hh", init, (g * h_sz,)),
-            )
-            for name in dir_names
-        }
-
-        # ONE input-projection matmul for all timesteps AND both directions
-        # (the backward direction's projections on flipped x equal the
-        # flipped projections on x, since the matmul is pointwise in t)
-        w_ih_all = jnp.concatenate([params[n]["w_ih"] for n in dir_names],
-                                   axis=1).astype(dt)
-        b_ih_all = jnp.concatenate([params[n]["b_ih"] for n in dir_names]).astype(dt)
-        xp_all = (x.astype(dt).reshape(t_dim * b_dim, self.input_size) @ w_ih_all
-                  ).reshape(t_dim, b_dim, -1) + b_ih_all
-        xp_by_dir = {n: xp_all[..., i * g * h_sz:(i + 1) * g * h_sz]
-                     for i, n in enumerate(dir_names)}
-
-        def direction(name: str, xp: Array, mask: Array,
+        def direction(name: str, xd: Array, mask: Array,
                       carry0: Tuple[Array, ...]) -> Tuple[Array, Tuple[Array, ...]]:
+            w_ih = self.param(f"{name}_w_ih", init, (self.input_size, g * h_sz))
+            w_hh = self.param(f"{name}_w_hh", init, (h_sz, g * h_sz))
+            b_ih = self.param(f"{name}_b_ih", init, (g * h_sz,))
+            b_hh = self.param(f"{name}_b_hh", init, (g * h_sz,))
+            dt = self.dtype
+            xd = xd.astype(dt)
+            # one big MXU matmul for all timesteps' input projections
+            xp = (xd.reshape(t_dim * b_dim, self.input_size) @ w_ih.astype(dt)
+                  ).reshape(t_dim, b_dim, g * h_sz) + b_ih.astype(dt)
             mask = mask.astype(dt)  # (T, B)
-            w_hh_c = params[name]["w_hh"].astype(dt)
-            b_hh_c = params[name]["b_hh"].astype(dt)
+            w_hh_c = w_hh.astype(dt)
+            b_hh_c = b_hh.astype(dt)
 
             if spec.kind == RNNType.lstm and pallas_ok:
                 from dsjax.ops.lstm_pallas import lstm_scan
@@ -303,8 +289,7 @@ class RecurrentLayer(nn.Module):
             return tuple(v) if isinstance(v, (tuple, list)) else (v,)
 
         mask_fwd = jnp.arange(t_dim)[:, None] < lengths[None, :]
-        y_fwd, c_fwd = direction("fwd", xp_by_dir["fwd"], mask_fwd,
-                                 carry_for("fwd"))
+        y_fwd, c_fwd = direction("fwd", x, mask_fwd, carry_for("fwd"))
         carry_out: Dict[str, Any] = {"fwd": c_fwd}
         y = y_fwd
         if self.bidirectional:
@@ -314,9 +299,9 @@ class RecurrentLayer(nn.Module):
             # [T-len, T); the masked carry idles through the leading padding
             # (m=0 keeps h0/c0), so the scan semantics match a per-length
             # reversal exactly, and flipping the output re-aligns it.
-            xp_bwd = jnp.flip(xp_by_dir["bwd"], axis=0)
+            xr = jnp.flip(x, axis=0)
             mask_bwd = jnp.flip(mask_fwd, axis=0)
-            y_bwd_r, c_bwd = direction("bwd", xp_bwd, mask_bwd, carry_for("bwd"))
+            y_bwd_r, c_bwd = direction("bwd", xr, mask_bwd, carry_for("bwd"))
             y_bwd = jnp.flip(y_bwd_r, axis=0)
             # y_bwd is already zero-masked past each length by the scan
             y = y_fwd + y_bwd
