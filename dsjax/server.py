@@ -42,6 +42,18 @@ class _Request:
         self.error: Optional[str] = None
 
 
+class _StreamSession:
+    """Server-held state for incremental transcription: RNN carry +
+    accumulated posteriors (the streaming analog of reference
+    inference.py:86-96's per-call chunk loop)."""
+
+    def __init__(self):
+        self.carry = None
+        self.outs: List[np.ndarray] = []
+        self.lock = threading.Lock()
+        self.last_used = time.time()
+
+
 class BatchWorker(threading.Thread):
     """Collects requests for up to batch_timeout_ms and runs them as one
     padded batch through the model."""
@@ -105,6 +117,42 @@ class BatchWorker(threading.Thread):
                 req.error = str(e)
                 req.event.set()
 
+    # -- incremental streaming sessions ---------------------------------
+
+    def stream_chunk(self, session_id: str, audio: np.ndarray,
+                     final: bool) -> dict:
+        """Feed one audio chunk into a session; returns the transcript so
+        far (decoded over all accumulated posteriors). The RNN carry lives
+        server-side, so arbitrarily long streams use constant memory on the
+        model path."""
+        if not hasattr(self, "_sessions"):
+            self._sessions = {}
+            self._sessions_lock = threading.Lock()
+        with self._sessions_lock:
+            sess = self._sessions.setdefault(session_id, _StreamSession())
+            # GC idle sessions
+            now = time.time()
+            for sid in [s for s, v in self._sessions.items()
+                        if now - v.last_used > 300 and s != session_id]:
+                del self._sessions[sid]
+        with sess.lock:
+            sess.last_used = time.time()
+            if len(audio):
+                spect = self.extractor(audio)[None]
+                lens = np.array([spect.shape[2]], np.int32)
+                probs, _, sess.carry = self.bundle.forward(spect, lens,
+                                                           sess.carry)
+                sess.outs.append(np.asarray(probs))
+            if not sess.outs:
+                return {"transcription": "", "final": final}
+            all_out = np.concatenate(sess.outs, axis=1)
+            decoded, _ = self.decoder.decode(all_out)
+            out = {"transcription": decoded[0][0], "final": final}
+            if final:
+                with self._sessions_lock:
+                    self._sessions.pop(session_id, None)
+            return out
+
     def _process_chunked(self, req: _Request) -> None:
         try:
             carry = None
@@ -146,7 +194,34 @@ def make_handler(worker: BatchWorker, cfg: ServerConfig):
                 self._send(404, {"error": "not found"})
 
         def do_POST(self):
-            if self.path != "/transcribe":
+            from urllib.parse import parse_qs, urlparse
+
+            url = urlparse(self.path)
+            if url.path == "/stream":
+                q = parse_qs(url.query)
+                session = (q.get("session") or ["default"])[0]
+                final = (q.get("final") or ["0"])[0] in ("1", "true")
+                length = int(self.headers.get("Content-Length", 0))
+                data = self.rfile.read(length)
+                ctype = self.headers.get("Content-Type", "")
+                _, payload = _parse_upload(ctype, data)
+                audio = np.zeros((0,), np.float32)
+                if payload:
+                    try:
+                        with tempfile.NamedTemporaryFile(suffix=".wav") as f:
+                            f.write(payload)
+                            f.flush()
+                            audio = load_audio(f.name,
+                                               worker.bundle.spect_cfg.sample_rate)
+                    except Exception as e:
+                        self._send(400, {"error": f"could not decode audio: {e}"})
+                        return
+                try:
+                    self._send(200, worker.stream_chunk(session, audio, final))
+                except Exception as e:
+                    self._send(500, {"error": str(e)})
+                return
+            if url.path != "/transcribe":
                 self._send(404, {"error": "not found"})
                 return
             ctype = self.headers.get("Content-Type", "")

@@ -119,6 +119,31 @@ def test_parse_upload_raw_body():
     assert payload is None
 
 
+def test_streaming_session(server_port):
+    """Incremental /stream endpoint: chunks accumulate server-side state;
+    final=1 closes the session."""
+    wav = _wav_bytes(0.25)
+    results = []
+    for i, final in enumerate([0, 0, 1]):
+        body, ctype = _multipart("c.wav", wav)
+        conn = http.client.HTTPConnection("127.0.0.1", server_port, timeout=120)
+        conn.request("POST", f"/stream?session=s1&final={final}", body=body,
+                     headers={"Content-Type": ctype})
+        r = conn.getresponse()
+        payload = json.loads(r.read())
+        assert r.status == 200, payload
+        results.append(payload)
+    assert results[-1]["final"] is True
+    assert all("transcription" in r for r in results)
+    # empty chunk on a fresh session is fine
+    conn = http.client.HTTPConnection("127.0.0.1", server_port, timeout=30)
+    conn.request("POST", "/stream?session=s2&final=1", body=b"",
+                 headers={"Content-Type": "application/octet-stream"})
+    r = conn.getresponse()
+    assert r.status == 200
+    assert json.loads(r.read())["transcription"] == ""
+
+
 def test_lm_search_optimizers():
     """TPE-lite and grid search converge on a synthetic objective."""
     import search_lm_params as slp
