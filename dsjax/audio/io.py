@@ -100,7 +100,9 @@ def save_wav(path: str, y: np.ndarray, sample_rate: int) -> None:
     y = np.asarray(y)
     if y.ndim == 1:
         y = y[None, :]
-    pcm = np.clip(y * 32767.0, -32768, 32767).astype("<i2")
+    # scale by 32768 (matching the reader's 1/32768) and clip the one
+    # unrepresentable positive code; rounding halves the quantization error
+    pcm = np.clip(np.round(y * 32768.0), -32768, 32767).astype("<i2")
     with wave.open(path, "wb") as w:
         w.setnchannels(y.shape[0])
         w.setsampwidth(2)

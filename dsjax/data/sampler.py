@@ -94,7 +94,11 @@ class DistributedBucketSampler(BucketBatchSampler):
     def __iter__(self) -> Iterator[List[int]]:
         rng = np.random.default_rng(self.seed + self.epoch)
         indices = list(rng.permutation(len(self.bins) - self.start_index) + self.start_index)
-        indices += indices[: (self.total_size - len(indices))]
+        # pad by wrapping until every rank gets num_samples batches (the
+        # reference pads once and breaks when num_replicas > n_bins,
+        # data_loader.py:348; we wrap repeatedly)
+        while len(indices) < self.total_size:
+            indices += indices[: (self.total_size - len(indices))]
         assert len(indices) == self.total_size
         indices = indices[self.rank: self.total_size: self.num_replicas]
         assert len(indices) == self.num_samples
