@@ -21,3 +21,24 @@ Design notes (TPU-first, not a port):
 __version__ = "0.1.0"
 
 from dsjax.labels import load_labels, DEFAULT_LABELS  # noqa: F401
+
+
+def __getattr__(name):
+    """Lazy public API (avoids importing jax at package import time)."""
+    api = {
+        "DeepSpeech2": ("dsjax.model.ds2", "DeepSpeech2"),
+        "ctc_loss": ("dsjax.model.ctc", "ctc_loss"),
+        "Trainer": ("dsjax.train.loop", "Trainer"),
+        "GreedyDecoder": ("dsjax.decode.greedy", "GreedyDecoder"),
+        "BeamCTCDecoder": ("dsjax.decode.beam", "BeamCTCDecoder"),
+        "DeviceBeamDecoder": ("dsjax.decode.beam_device", "DeviceBeamDecoder"),
+        "load_model": ("dsjax.inference", "load_model"),
+        "TrainConfig": ("dsjax.config", "TrainConfig"),
+        "compose": ("dsjax.config", "compose"),
+    }
+    if name in api:
+        import importlib
+
+        module, attr = api[name]
+        return getattr(importlib.import_module(module), attr)
+    raise AttributeError(f"module 'dsjax' has no attribute {name!r}")

@@ -46,7 +46,7 @@ class CheckpointHandler:
             os.path.join(self.dirpath, "last"),
             options=ocp.CheckpointManagerOptions(max_to_keep=1),
         )
-        self.meta = {}
+        self.meta = {"format_version": 1}
         if cfg is not None:
             self.meta["config"] = to_dict(cfg)
         if labels is not None:
