@@ -66,6 +66,8 @@ class BatchWorker(threading.Thread):
         self.extractor = FeatureExtractor(bundle.spect_cfg, normalize=True)
         self.queue: "queue.Queue[_Request]" = queue.Queue()
         self.running = True
+        self._sessions: dict = {}
+        self._sessions_lock = threading.Lock()
 
     def submit(self, req: _Request) -> None:
         self.queue.put(req)
@@ -125,9 +127,6 @@ class BatchWorker(threading.Thread):
         far (decoded over all accumulated posteriors). The RNN carry lives
         server-side, so arbitrarily long streams use constant memory on the
         model path."""
-        if not hasattr(self, "_sessions"):
-            self._sessions = {}
-            self._sessions_lock = threading.Lock()
         with self._sessions_lock:
             sess = self._sessions.setdefault(session_id, _StreamSession())
             # GC idle sessions
