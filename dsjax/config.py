@@ -445,6 +445,25 @@ def compose(schema: Type, argv: Optional[List[str]] = None, overlays: Optional[L
     return cfg
 
 
+def print_help(schema: Type, doc: Optional[str] = None) -> None:
+    """Print a flat listing of dotted option paths with their defaults
+    (used by the root CLIs for -h/--help)."""
+    if doc:
+        print(doc)
+    print("Options (dotted key=value overrides; defaults shown):")
+
+    def walk(d: Dict[str, Any], prefix: str = "") -> None:
+        for k, v in d.items():
+            if k == "_type_":
+                continue
+            if isinstance(v, dict) and "_type_" in v:
+                walk(v, prefix + k + ".")
+            else:
+                print(f"  {prefix}{k} = {v!r}")
+
+    walk(to_dict(schema()))
+
+
 def save_yaml(cfg: Any, path: str) -> None:
     with open(path, "w") as f:
         yaml.safe_dump(to_dict(cfg), f, sort_keys=False)

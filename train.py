@@ -9,5 +9,14 @@ import sys
 from dsjax.config import TrainConfig, compose
 from dsjax.workflows import train
 
+def _maybe_help():
+    if any(a in ("-h", "--help") for a in sys.argv[1:]):
+        from dsjax.config import print_help
+
+        print_help(TrainConfig, __doc__)
+        raise SystemExit(0)
+
+
 if __name__ == "__main__":
+    _maybe_help()
     train(compose(TrainConfig, sys.argv[1:]))
