@@ -154,6 +154,11 @@ class TrainerConfig:
     # TPU mesh axes: data-parallel x model-parallel. -1 on data = use all.
     mesh_data: int = -1
     mesh_model: int = 1
+    # force a jax platform ('cpu' for CPU smoke/CI runs; '' = default).
+    # jax.config wins over the JAX_PLATFORMS env var, which TPU PJRT
+    # plugins may override.
+    platform: str = ""
+    num_cpu_devices: int = 0            # >0: fake this many CPU devices
     # '' = backend default; else 'bfloat16' | 'tensorfloat32' | 'float32'
     matmul_precision: str = ""
     donate_state: bool = True

@@ -48,6 +48,16 @@ class Batch:
     target_lengths: np.ndarray     # (B,)
     input_percentages: np.ndarray  # (B,) reference-parity: len / padded T
     audio: Optional[np.ndarray] = None  # (B, L_pad) device-feature mode
+    valid: Optional[np.ndarray] = None  # (B,) bool; False = batch-pad row
+
+    @property
+    def valid_mask(self) -> np.ndarray:
+        """(B,) float32 row-validity mask; pad rows (pad_to_batch) are 0 so
+        they contribute zero loss/gradient (a pad row with input_length=1
+        otherwise yields nll = -log p_blank with real gradients)."""
+        if self.valid is None:
+            return np.ones((self.size,), np.float32)
+        return self.valid.astype(np.float32)
 
     @property
     def size(self) -> int:
@@ -71,8 +81,8 @@ def collate(samples: Sequence[Tuple[np.ndarray, List[int]]],
             pad_to_batch: Optional[int] = None) -> Batch:
     """Sort by length desc (reference: data_loader.py:251), pad to bucketed
     max, emit padded targets. ``pad_to_batch`` repeats zero rows so the batch
-    dimension is static too (the pad rows get input_length 1 / target_length
-    0 and contribute zero loss via CTC zero-length handling)."""
+    dimension is static too; pad rows are marked invalid (Batch.valid) and
+    the train loop zeroes their loss."""
     samples = sorted(samples, key=lambda s: s[0].shape[1], reverse=True)
     b = len(samples)
     freq = samples[0][0].shape[0]
@@ -84,6 +94,8 @@ def collate(samples: Sequence[Tuple[np.ndarray, List[int]]],
     targets = np.zeros((b_pad, max_l), np.int32)
     target_lengths = np.zeros((b_pad,), np.int32)
     percentages = np.zeros((b_pad,), np.float32)
+    valid = np.zeros((b_pad,), bool)
+    valid[:b] = True
     for i, (spect, transcript) in enumerate(samples):
         t = spect.shape[1]
         inputs[i, :, :t] = spect
@@ -91,7 +103,8 @@ def collate(samples: Sequence[Tuple[np.ndarray, List[int]]],
         targets[i, : len(transcript)] = transcript
         target_lengths[i] = len(transcript)
         percentages[i] = t / float(max_t)
-    return Batch(inputs, input_lengths, targets, target_lengths, percentages)
+    return Batch(inputs, input_lengths, targets, target_lengths, percentages,
+                 valid=valid)
 
 
 def collate_audio(samples: Sequence[Tuple[np.ndarray, int, List[int]]],
@@ -110,6 +123,8 @@ def collate_audio(samples: Sequence[Tuple[np.ndarray, int, List[int]]],
     targets = np.zeros((b_pad, max_l), np.int32)
     target_lengths = np.zeros((b_pad,), np.int32)
     percentages = np.zeros((b_pad,), np.float32)
+    valid = np.zeros((b_pad,), bool)
+    valid[:b] = True
     for i, (yp, n_frames, transcript) in enumerate(samples):
         audio[i, : len(yp)] = yp[:total]
         input_lengths[i] = n_frames
@@ -117,7 +132,7 @@ def collate_audio(samples: Sequence[Tuple[np.ndarray, int, List[int]]],
         target_lengths[i] = len(transcript)
         percentages[i] = n_frames / float(max_t)
     return Batch(None, input_lengths, targets, target_lengths, percentages,
-                 audio=audio)
+                 audio=audio, valid=valid)
 
 
 class SpectrogramDataset:

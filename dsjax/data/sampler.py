@@ -109,3 +109,18 @@ class DistributedBucketSampler(BucketBatchSampler):
 
     def __len__(self) -> int:
         return self.num_samples
+
+
+class DistributedOrderedSampler(DistributedBucketSampler):
+    """Deterministic in-order rank-strided batches for multi-host
+    validation. Bins are padded by wrapping so every host steps the same
+    number of times (SPMD hosts must stay in lockstep); the wrapped
+    duplicates slightly overweight early bins — same trade the reference's
+    padded DistributedSampler makes (data_loader.py:344-351)."""
+
+    def __iter__(self) -> Iterator[List[int]]:
+        indices = list(range(self.start_index, len(self.bins)))
+        while len(indices) < self.total_size:
+            indices += indices[: self.total_size - len(indices)]
+        for x in indices[self.rank: self.total_size: self.num_replicas]:
+            yield list(self.bins[int(x)])

@@ -91,13 +91,18 @@ class BeamCTCDecoder:
         b, t, c = probs.shape
         sizes = [t] * b if sizes is None else [int(s) for s in np.asarray(sizes)]
 
+        # ctcdecode applies alpha/beta only through the LM scorer
+        # (reference decoder.py:69-74): with no LM they must be inert
+        alpha = self.alpha if self.lm is not None else 0.0
+        beta = self.beta if self.lm is not None else 0.0
+
         def decode_one(i: int):
             if self._cpp is not None:
                 # ctypes releases the GIL during the native call, so the
                 # thread pool gives real parallelism (num_processes parity
                 # with ctcdecode's worker threads, reference decoder.py:65)
-                return self._cpp.decode(probs[i, :sizes[i]], self.alpha,
-                                        self.beta, self.beam_width,
+                return self._cpp.decode(probs[i, :sizes[i]], alpha,
+                                        beta, self.beam_width,
                                         self.cutoff_top_n, self.cutoff_prob)
             return self._decode_one(probs[i, :sizes[i]])
 
@@ -127,9 +132,13 @@ class BeamCTCDecoder:
 
     def _lm_score(self, prefix: Tuple[int, ...]) -> float:
         """alpha * ln P(last word | history) + beta for the word just
-        completed (prefix must end at a word boundary or utterance end)."""
+        completed (prefix must end at a word boundary or utterance end).
+
+        Without an LM this is 0: ctcdecode applies alpha/beta only through
+        the LM scorer, so lm_path=None with beta != 0 must not add a
+        per-word bonus (reference decoder.py:69-74)."""
         if self.lm is None:
-            return self.beta
+            return 0.0
         chars = [self.label_map.int_to_char[i] for i in prefix]
         words = "".join(chars).split()
         if not words:

@@ -38,8 +38,9 @@ def initialize(coordinator_address: Optional[str] = None,
     if process_id is None and os.environ.get("JAX_PROCESS_ID"):
         process_id = int(os.environ["JAX_PROCESS_ID"])
 
-    already = jax.process_count() > 1
-    if already:
+    # do NOT probe jax.process_count() here: it would initialize the XLA
+    # backend, after which jax.distributed.initialize refuses to run
+    if jax.distributed.is_initialized():
         return
     if coordinator_address is None and not _on_tpu_pod():
         return  # single host

@@ -272,7 +272,11 @@ def _parse_upload(content_type: str, data: bytes) -> Tuple[Optional[str], Option
             continue
         fm = re.search(rb'filename="([^"]*)"', header)
         filename = fm.group(1).decode(errors="replace") if fm else "upload.wav"
-        body = body.rstrip(b"\r\n-")
+        # each split part ends with exactly one CRLF that precedes the next
+        # boundary marker; strip ONLY that (rstrip over a charset would eat
+        # legitimate trailing 0x0D/0x0A audio bytes)
+        if body.endswith(b"\r\n"):
+            body = body[:-2]
         return filename, body
     return None, None
 

@@ -51,8 +51,9 @@ class CheckpointHandler:
             self.meta["config"] = to_dict(cfg)
         if labels is not None:
             self.meta["labels"] = list(labels)
-        with open(os.path.join(self.dirpath, "meta.json"), "w") as f:
-            json.dump(self.meta, f)
+        if jax.process_index() == 0:  # single writer on shared storage
+            with open(os.path.join(self.dirpath, "meta.json"), "w") as f:
+                json.dump(self.meta, f)
 
     # -- save ----------------------------------------------------------
 

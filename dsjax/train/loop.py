@@ -124,7 +124,8 @@ class Trainer:
     def _train_step_fn(self):
         model, tx, optim_cfg, dp = self.model, self.tx, self.cfg.optim, self.dp
 
-        def step_fn(state: TrainState, inputs, input_lengths, targets, target_lengths):
+        def step_fn(state: TrainState, inputs, input_lengths, targets,
+                    target_lengths, valid):
             feats = self._features(inputs, input_lengths)
             if inputs.ndim == 2:  # raw-audio mode: augment on device
                 feats = self._device_augment(feats, input_lengths, state.step)
@@ -134,8 +135,10 @@ class Trainer:
                     {"params": params, "batch_stats": state.batch_stats},
                     feats, input_lengths, train=True, mutable=["batch_stats"])
                 logp = jax.nn.log_softmax(out.astype(jnp.float32), axis=-1)
-                loss = ctc_loss(logp, out_lens, targets, target_lengths,
-                                reduction="sum", zero_infinity=True)
+                nll = ctc_loss(logp, out_lens, targets, target_lengths,
+                               reduction="none", zero_infinity=True)
+                # batch-pad rows (Batch.valid=False) carry zero loss/grad
+                loss = jnp.sum(nll * valid)
                 return loss / dp, mut["batch_stats"]
 
             (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
@@ -155,7 +158,8 @@ class Trainer:
     def _grad_step_fn(self):
         model, dp = self.model, self.dp
 
-        def fn(state: TrainState, inputs, input_lengths, targets, target_lengths):
+        def fn(state: TrainState, inputs, input_lengths, targets,
+               target_lengths, valid):
             feats = self._features(inputs, input_lengths)
             if inputs.ndim == 2:
                 feats = self._device_augment(feats, input_lengths, state.step)
@@ -165,8 +169,9 @@ class Trainer:
                     {"params": params, "batch_stats": state.batch_stats},
                     feats, input_lengths, train=True, mutable=["batch_stats"])
                 logp = jax.nn.log_softmax(out.astype(jnp.float32), axis=-1)
-                loss = ctc_loss(logp, out_lens, targets, target_lengths,
-                                reduction="sum", zero_infinity=True)
+                nll = ctc_loss(logp, out_lens, targets, target_lengths,
+                               reduction="none", zero_infinity=True)
+                loss = jnp.sum(nll * valid)
                 return loss / dp, mut["batch_stats"]
 
             (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
@@ -175,17 +180,17 @@ class Trainer:
         return fn
 
     def grad_step(self, state: TrainState, batch: Batch):
-        x = batch.inputs if batch.inputs is not None else batch.audio
-        key = ("grad", x.shape, batch.targets.shape)
+        args = self.put_batch(batch)
+        key = ("grad", args[0].shape, args[2].shape)
         if key not in self._compiled:
             sh = self.state_shardings(state)
             bsh = batch_sharding(self.mesh)
             self._compiled[key] = jax.jit(
                 self._grad_step_fn(),
-                in_shardings=(sh, bsh, bsh, bsh, bsh),
+                in_shardings=(sh, bsh, bsh, bsh, bsh, bsh),
                 out_shardings=(sh.params, sh.batch_stats,
                                NamedSharding(self.mesh, P())))
-        return self._compiled[key](state, *self.put_batch(batch))
+        return self._compiled[key](state, *args)
 
     def apply_grads(self, state: TrainState, grads, n_accum: int) -> TrainState:
         if "apply" not in self._compiled:
@@ -221,34 +226,48 @@ class Trainer:
         return state, losses[-1]
 
     def train_step(self, state: TrainState, batch: Batch) -> Tuple[TrainState, jax.Array]:
-        x = batch.inputs if batch.inputs is not None else batch.audio
-        key = (x.shape, batch.targets.shape)
+        args = self.put_batch(batch)
+        key = (args[0].shape, args[2].shape)
         if key not in self._compiled:
             sh = self.state_shardings(state)
             bsh = batch_sharding(self.mesh)
             self._compiled[key] = jax.jit(
                 self._train_step_fn(),
-                in_shardings=(sh, bsh, bsh, bsh, bsh),
+                in_shardings=(sh, bsh, bsh, bsh, bsh, bsh),
                 out_shardings=(sh, NamedSharding(self.mesh, P())),
                 donate_argnums=(0,) if self.cfg.trainer.donate_state else (),
             )
-        args = self.put_batch(batch)
         return self._compiled[key](state, *args)
 
     def put_batch(self, batch: Batch):
+        """Host batch -> global device arrays sharded P('data').
+
+        Multi-process: every host holds only its shard; shapes are agreed
+        across hosts and the global array is assembled shard-wise
+        (dsjax.parallel.multihost) — a host never touches non-addressable
+        devices. Single-process: plain device_put.
+        """
+        from dsjax.parallel.multihost import agree_shapes, make_global
+
         bsh = batch_sharding(self.mesh)
         x = batch.inputs if batch.inputs is not None else batch.audio
-        return tuple(jax.device_put(a, bsh) for a in
-                     (x, batch.input_lengths.astype(np.int32),
-                      batch.targets.astype(np.int32),
-                      batch.target_lengths.astype(np.int32)))
+        arrays = agree_shapes((
+            x, batch.input_lengths.astype(np.int32),
+            batch.targets.astype(np.int32),
+            batch.target_lengths.astype(np.int32),
+            batch.valid_mask))
+        return tuple(make_global(bsh, a) for a in arrays)
 
     def eval_step(self, state: TrainState, batch: Batch):
+        from dsjax.parallel.multihost import agree_shapes, make_global
+
+        bsh = batch_sharding(self.mesh)
         x = batch.inputs if batch.inputs is not None else batch.audio
-        key = x.shape
+        inputs, lens = (make_global(bsh, a) for a in agree_shapes(
+            (x, batch.input_lengths.astype(np.int32))))
+        key = inputs.shape
         if key not in self._eval_compiled:
             sh = self.state_shardings(state)
-            bsh = batch_sharding(self.mesh)
             model = self.model
 
             def fn(st: TrainState, inputs, input_lengths):
@@ -261,9 +280,6 @@ class Trainer:
             self._eval_compiled[key] = jax.jit(
                 fn, in_shardings=(sh, bsh, bsh),
                 out_shardings=(bsh, bsh))
-        bsh = batch_sharding(self.mesh)
-        inputs = jax.device_put(x, bsh)
-        lens = jax.device_put(batch.input_lengths.astype(np.int32), bsh)
         return self._eval_compiled[key](state, inputs, lens)
 
     # ------------------------------------------------------------------
@@ -273,13 +289,23 @@ class Trainer:
     def validate(self, state: TrainState, pipeline: Iterable[Batch],
                  max_batches: Optional[int] = None, verbose: bool = False
                  ) -> Tuple[float, float]:
+        from dsjax.parallel.multihost import host_local_rows
+
         wer, cer = WordErrorRate(), CharErrorRate()
+        multiproc = jax.process_count() > 1
         for i, batch in enumerate(pipeline):
             if max_batches is not None and i >= max_batches:
                 break
             out, out_lens = self.eval_step(state, batch)
-            n_real = int(np.sum(batch.target_lengths > 0)) or batch.size
-            decoded, _ = self.decoder.decode(out, np.asarray(out_lens))
+            # multi-process: fetch/decode only this host's addressable row
+            # block (fetching the full P('data') array would touch
+            # non-addressable devices and raise); the cross-host integer
+            # sum below combines per-host counts.
+            if multiproc:
+                out = host_local_rows(out)
+                out_lens = host_local_rows(out_lens)
+            n_real = int(batch.valid_mask.sum()) or batch.size
+            decoded, _ = self.decoder.decode(np.asarray(out), np.asarray(out_lens))
             refs = self.decoder.convert_to_strings(
                 [batch.targets[b, :batch.target_lengths[b]] for b in range(batch.size)])
             transcripts = [d[0] for d in decoded[:n_real]]
@@ -295,7 +321,7 @@ class Trainer:
 
             sums = multihost_utils.process_allgather(
                 jnp.asarray([wer.distance, wer.denom, cer.distance, cer.denom],
-                            jnp.int64))
+                            jnp.int32))
             tot = np.asarray(sums).sum(axis=0)
             wer.distance, wer.denom = int(tot[0]), int(tot[1])
             cer.distance, cer.denom = int(tot[2]), int(tot[3])
@@ -310,11 +336,14 @@ class Trainer:
         cfg = self.cfg
         state = state if state is not None else self.init_state()
         start_epoch = int(np.asarray(state.epoch))
-        n_train = _limit(len(train_pipeline), cfg.trainer.limit_train_batches)
         n_val = _limit(len(val_pipeline), cfg.trainer.limit_val_batches)
         timer = StepTimer()
         for epoch in range(start_epoch, cfg.trainer.max_epochs):
             train_pipeline.sampler.set_epoch(epoch)
+            # recompute per epoch: after a mid-epoch auto-resume the first
+            # epoch is shorter (sampler.start_index > 0) but later epochs,
+            # whose start_index resets to 0, must run full length
+            n_train = _limit(len(train_pipeline), cfg.trainer.limit_train_batches)
             state = state.replace(epoch=jnp.asarray(epoch, jnp.int32))
             state = self.shard_state(state)
             t0 = time.time()
@@ -383,9 +412,14 @@ class Trainer:
                 metrics_logger.log(int(np.asarray(state.step)), wer=wer, cer=cer,
                                    mean_loss=mean_loss, epoch=epoch)
             if checkpoint_handler is not None and cfg.trainer.enable_checkpointing:
-                # save with epoch+1 so auto-resume continues at the NEXT epoch
+                # save with epoch+1 so auto-resume continues at the NEXT
+                # epoch; re-shard so the fresh epoch scalar is a GLOBAL
+                # (replicated) array — orbax refuses host-local arrays in
+                # multi-host saves
+                ck_state = self.shard_state(
+                    state.replace(epoch=jnp.asarray(epoch + 1, jnp.int32)))
                 checkpoint_handler.save(
-                    state.replace(epoch=jnp.asarray(epoch + 1, jnp.int32)),
+                    ck_state,
                     {"wer": wer, "cer": cer, "loss": mean_loss, "epoch": epoch})
             # sampler start_index reset after completing an epoch
             train_pipeline.sampler.start_index = 0

@@ -17,7 +17,7 @@ from dsjax.config import (EvalConfig, TrainConfig, TranscribeConfig)
 from dsjax.data.dataset import SpectrogramDataset
 from dsjax.data.loader import DataPipeline
 from dsjax.data.sampler import (BucketBatchSampler, DistributedBucketSampler,
-                                OrderedBatchSampler)
+                                DistributedOrderedSampler, OrderedBatchSampler)
 from dsjax.inference import decode_results, load_decoder, load_model, run_transcribe
 from dsjax.labels import load_labels
 from dsjax.train.checkpoint import CheckpointHandler, find_latest_checkpoint_dir
@@ -41,12 +41,19 @@ def _pipelines(cfg: TrainConfig, labels: List[str], dp: int
         train_sampler = DistributedBucketSampler(
             len(train_ds), cfg.data.batch_size, seed=cfg.seed,
             num_replicas=n_proc, rank=jax.process_index())
+        val_sampler = DistributedOrderedSampler(
+            len(val_ds), cfg.data.batch_size, seed=cfg.seed,
+            num_replicas=n_proc, rank=jax.process_index())
     else:
         train_sampler = BucketBatchSampler(len(train_ds), cfg.data.batch_size,
                                            seed=cfg.seed)
-    val_sampler = OrderedBatchSampler(len(val_ds), cfg.data.batch_size, seed=cfg.seed)
+        val_sampler = OrderedBatchSampler(len(val_ds), cfg.data.batch_size,
+                                          seed=cfg.seed)
 
-    pad_b = -(-cfg.data.batch_size // dp) * dp  # pad batch to dp multiple
+    # each host feeds its shard of the global batch; pad the HOST batch to a
+    # multiple of the data-axis shards this host owns (dp // n_proc)
+    local_dp = max(1, dp // n_proc)
+    pad_b = -(-cfg.data.batch_size // local_dp) * local_dp
     mk = lambda ds, sampler: DataPipeline(
         ds, sampler, bucket_frames=cfg.data.bucket_frames,
         bucket_labels=cfg.data.bucket_labels,
@@ -57,6 +64,18 @@ def _pipelines(cfg: TrainConfig, labels: List[str], dp: int
 
 def train(cfg: TrainConfig) -> None:
     """Full training workflow (reference: training.py:13-47)."""
+    from dsjax.parallel.distributed import initialize as dist_initialize
+
+    if cfg.trainer.platform or cfg.trainer.num_cpu_devices:
+        import jax
+
+        if cfg.trainer.platform:
+            jax.config.update("jax_platforms", cfg.trainer.platform)
+        if cfg.trainer.num_cpu_devices:
+            jax.config.update("jax_num_cpu_devices", cfg.trainer.num_cpu_devices)
+    # join the multi-host cluster BEFORE any device use (no-op single-host);
+    # replaces the reference's TorchElastic+etcd rendezvous (README.md:154-189)
+    dist_initialize()
     np.random.seed(cfg.seed % (2 ** 32))
     labels = load_labels(cfg.data.labels_path if os.path.isfile(cfg.data.labels_path)
                          else None)
