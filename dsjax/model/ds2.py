@@ -108,6 +108,33 @@ def hardtanh_0_20(x: Array) -> Array:
     return jnp.clip(x, 0.0, 20.0)
 
 
+class FastConv(nn.Module):
+    """nn.Conv-compatible conv (same "kernel"/"bias" params, HWIO) routed
+    through the banded-block formulation on TPU — XLA's backward pass for
+    the reference's small-channel Conv2d shapes is ~20x off speed-of-light
+    (see dsjax/ops/blockconv.py)."""
+
+    features: int
+    kernel_size: Tuple[int, int]
+    strides: Tuple[int, int]
+    padding: Tuple[Tuple[int, int], Tuple[int, int]]
+    dtype: Any = jnp.float32
+    block_j: int = 8
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        from dsjax.ops.blockconv import conv2d_auto
+
+        kf, kt = self.kernel_size
+        ci = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (kf, kt, ci, self.features))
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+        y = conv2d_auto(x.astype(self.dtype), kernel.astype(self.dtype),
+                        self.strides, self.padding, self.block_j)
+        return y + bias.astype(y.dtype)
+
+
 class ConvFrontend(nn.Module):
     """Two Conv2d+BN+Hardtanh blocks with per-module length masking.
 
@@ -128,14 +155,16 @@ class ConvFrontend(nn.Module):
             m = jnp.arange(t_dim)[None, :] < out_lengths[:, None]
             return m[:, None, :, None].astype(x.dtype)  # (B, 1, T', 1)
 
-        x = nn.Conv(32, kernel_size=(41, 11), strides=(2, 2), padding=((20, 20), (5, 5)),
-                    use_bias=True, dtype=self.dtype, name="conv1")(x)
+        x = FastConv(32, kernel_size=(41, 11), strides=(2, 2),
+                     padding=((20, 20), (5, 5)), dtype=self.dtype,
+                     block_j=16, name="conv1")(x)
         m = time_mask(x.shape[2])
         x = x * m
         x = TorchBatchNorm(32, axes=(0, 1, 2), dtype=self.dtype, name="bn1")(x, train)
         x = hardtanh_0_20(x) * m
-        x = nn.Conv(32, kernel_size=(21, 11), strides=(2, 1), padding=((10, 10), (5, 5)),
-                    use_bias=True, dtype=self.dtype, name="conv2")(x)
+        x = FastConv(32, kernel_size=(21, 11), strides=(2, 1),
+                     padding=((10, 10), (5, 5)), dtype=self.dtype,
+                     block_j=8, name="conv2")(x)
         m = time_mask(x.shape[2])
         x = x * m
         x = TorchBatchNorm(32, axes=(0, 1, 2), dtype=self.dtype, name="bn2")(x, train)

@@ -45,18 +45,37 @@ def initialize(coordinator_address: Optional[str] = None,
     if coordinator_address is None and not _on_tpu_pod():
         return  # single host
     try:
-        jax.distributed.initialize(coordinator_address=coordinator_address,
-                                   num_processes=num_processes,
-                                   process_id=process_id)
+        if coordinator_address is None:
+            # TPU pod: all parameters auto-discovered from pod metadata
+            jax.distributed.initialize()
+        else:
+            jax.distributed.initialize(coordinator_address=coordinator_address,
+                                       num_processes=num_processes,
+                                       process_id=process_id)
     except (RuntimeError, ValueError) as e:
-        # already initialized or single-host TPU
-        if "already" not in str(e).lower():
-            raise
+        msg = str(e).lower()
+        # tolerate: already initialized, single-host TPU, or a backend that
+        # was already brought up in-process (tests, notebooks) — joining a
+        # cluster is impossible then, so continue single-host
+        if "already" in msg:
+            return
+        if "must be called before" in msg:
+            import sys
+
+            print("dsjax: XLA backend already initialized; continuing "
+                  "single-host (call dsjax.parallel.distributed.initialize "
+                  "before any jax use to join a cluster)", file=sys.stderr)
+            return
+        raise
 
 
 def _on_tpu_pod() -> bool:
-    return bool(os.environ.get("TPU_WORKER_HOSTNAMES")
-                or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS"))
+    """True only for MULTI-host TPU pods (a single-chip/single-host TPU VM
+    also sets TPU_WORKER_HOSTNAMES, but with one entry — joining a cluster
+    there would demand a coordinator address that does not exist)."""
+    hosts = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    return len([h for h in hosts.split(",") if h]) > 1 or bool(
+        os.environ.get("MEGASCALE_COORDINATOR_ADDRESS"))
 
 
 def is_main_process() -> bool:
