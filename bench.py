@@ -2,12 +2,21 @@
 """Benchmark: flagship-model training throughput on the local accelerator.
 
 Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N,
+   "mfu": N, "batch": B}
 
 Measures end-to-end training step time for the DeepSpeech2 flagship config
 (2xconv + 5xBiLSTM-1024, bf16 compute, on-device CTC, AdamW + clip 400)
 with LibriSpeech-like shapes (batch 64 — the reference's per-GPU LibriSpeech
 batch — and ~10s utterances).
+
+Env knobs:
+  DSJAX_BENCH_BATCH=N    batch size (default 64)
+  DSJAX_BENCH_SECONDS=S  utterance length (default 10.24 -> T=1024 frames)
+  DSJAX_BENCH_RAGGED=1   manifest-shaped batches: input lengths spread over
+                         [T/2, T] and target lengths over [L/2, L] (honest
+                         padding/mask overhead, vs the best-case uniform
+                         batch)
 
 Methodology: the local TPU is reached through a tunnel whose per-call input
 transfer dominates wall-clock and whose block_until_ready is asynchronous,
@@ -17,9 +26,11 @@ on-device from a seed, N training steps run under lax.scan, and the final
 loss scalar is fetched (a sync point). Per-step time = (t(N2) - t(N1)) /
 (N2 - N1), which cancels the constant upload/compile/latency overhead.
 
-vs_baseline anchors on a conservative estimate of the reference stack's
-throughput for this config on A100 (~90 utt/s at batch 32, cuDNN LSTM
-bound); the reference publishes no numbers in-tree (see BASELINE.md).
+Anchors: `mfu` = model (algorithmic) train FLOPs / chip peak bf16 FLOPs —
+the hardware-honest number. `vs_baseline` keeps the reference-stack anchor:
+a conservative estimate of the reference's A100 throughput for this config
+(~90 utt/s at batch 32, cuDNN LSTM bound); the reference publishes no
+numbers in-tree (see BASELINE.md).
 """
 
 import json
@@ -30,6 +41,46 @@ import numpy as np
 
 BATCH = int(os.environ.get("DSJAX_BENCH_BATCH", "64"))
 SECONDS = float(os.environ.get("DSJAX_BENCH_SECONDS", "10.24"))
+RAGGED = os.environ.get("DSJAX_BENCH_RAGGED", "") not in ("", "0")
+
+HIDDEN, LAYERS, LBL = 1024, 5, 256
+
+
+def model_train_flops_per_utt(t_in: int, mean_frac: float = 1.0) -> float:
+    """Algorithmic FLOPs to TRAIN on one utterance of t_in input frames
+    (fwd + backward ~= 3x fwd for this matmul-dominated model). mean_frac
+    scales the time-dependent terms for ragged batches."""
+    t = t_in // 2 * mean_frac  # frames after the stride-2 conv
+    f_out1, f_out2 = 81, 41
+    conv1 = f_out1 * t * 32 * (41 * 11 * 1) * 2
+    conv2 = f_out2 * t * 32 * (21 * 11 * 32) * 2
+    d0 = f_out2 * 32  # 1312
+    fwd = conv1 + conv2
+    for layer in range(LAYERS):
+        d = d0 if layer == 0 else HIDDEN
+        proj = t * d * 4 * HIDDEN * 2
+        rec = t * HIDDEN * 4 * HIDDEN * 2
+        fwd += 2 * (proj + rec)  # two directions
+    fwd += t * HIDDEN * 29 * 2  # fc head
+    return 3.0 * fwd
+
+
+def chip_peak_flops() -> float:
+    """Peak bf16 FLOP/s for the local chip (by device_kind)."""
+    import jax
+
+    kind = jax.devices()[0].device_kind.lower()
+    table = {
+        "v5 lite": 197e12, "v5e": 197e12,
+        "v5p": 459e12, "v5": 459e12,
+        "v4": 275e12,
+        "v6 lite": 918e12, "v6e": 918e12, "trillium": 918e12,
+        "v3": 123e12, "v2": 46e12,
+    }
+    for key, peak in table.items():
+        if key in kind:
+            return peak
+    return 197e12  # assume v5e-class when unknown
 
 
 def build_program(n_steps: int):
@@ -43,24 +94,35 @@ def build_program(n_steps: int):
     from dsjax.train.state import TrainState, epoch_lr, make_optimizer, set_lr
 
     cfg = compose(TrainConfig, [
-        "model.hidden_size=1024",
-        "model.hidden_layers=5",
+        f"model.hidden_size={HIDDEN}",
+        f"model.hidden_layers={LAYERS}",
         "trainer.precision=16",
     ])
     model = DeepSpeech2(num_classes=len(DEFAULT_LABELS), spect_cfg=cfg.data.spect,
                         model_cfg=cfg.model, dtype=jnp.bfloat16)
     tx = make_optimizer(cfg.optim, cfg.trainer)
 
-    B, F, T, L = BATCH, 161, int(SECONDS * 100), 256
+    B, F, T, L = BATCH, 161, int(SECONDS * 100), LBL
     C = len(DEFAULT_LABELS)
+
+    if RAGGED:
+        # manifest-shaped: lengths spread over [T/2, T] (duration-sorted
+        # manifests batch similar lengths; a 2x in-batch spread upper-bounds
+        # the real padding waste)
+        in_lens = np.linspace(T // 2, T, B).astype(np.int32)
+        tgt_lens = np.linspace(L // 2, L, B).astype(np.int32)
+    else:
+        in_lens = np.full((B,), T, np.int32)
+        tgt_lens = np.full((B,), L, np.int32)
+    mean_frac = float(in_lens.mean()) / T
 
     def program(seed):
         rng = jax.random.PRNGKey(seed)
         k_init, k_x, k_t = jax.random.split(rng, 3)
         inputs = jax.random.normal(k_x, (B, F, T), jnp.float32)
-        input_lengths = jnp.full((B,), T, jnp.int32)
+        input_lengths = jnp.asarray(in_lens)
         targets = jax.random.randint(k_t, (B, L), 1, C, jnp.int32)
-        target_lengths = jnp.full((B,), L, jnp.int32)
+        target_lengths = jnp.asarray(tgt_lens)
         variables = model.init(k_init, inputs, input_lengths, train=False)
         state = TrainState(params=variables["params"],
                            batch_stats=variables.get("batch_stats", {}),
@@ -88,7 +150,7 @@ def build_program(n_steps: int):
         state, losses = jax.lax.scan(one_step, state, None, length=n_steps)
         return losses[-1]
 
-    return jax.jit(program), B
+    return jax.jit(program), B, mean_frac
 
 
 def timed_run(fn, seed) -> float:
@@ -101,8 +163,8 @@ def timed_run(fn, seed) -> float:
 
 def main():
     n1, n2 = 2, 12
-    f1, batch = build_program(n1)
-    f2, _ = build_program(n2)
+    f1, batch, mean_frac = build_program(n1)
+    f2, _, _ = build_program(n2)
     # warm both compiles
     timed_run(f1, 0)
     timed_run(f2, 0)
@@ -110,12 +172,17 @@ def main():
     t_long = min(timed_run(f2, i + 1) for i in range(2))
     step_time = max((t_long - t_short) / (n2 - n1), 1e-6)
     utt_per_sec = batch / step_time
+    flops_per_utt = model_train_flops_per_utt(int(SECONDS * 100), mean_frac)
+    mfu = utt_per_sec * flops_per_utt / chip_peak_flops()
     baseline_a100_utt_s = 90.0  # see module docstring
+    tag = "_ragged" if RAGGED else ""
     print(json.dumps({
-        "metric": f"train_throughput_ds2_5x1024_b{BATCH}_t{int(SECONDS * 100)}",
+        "metric": f"train_throughput_ds2_5x1024_b{BATCH}_t{int(SECONDS * 100)}{tag}",
         "value": round(utt_per_sec, 2),
         "unit": "utterances/sec/chip",
         "vs_baseline": round(utt_per_sec / baseline_a100_utt_s, 3),
+        "mfu": round(mfu, 4),
+        "batch": BATCH,
     }))
 
 
