@@ -85,11 +85,30 @@ def read_wav(path: str) -> Tuple[np.ndarray, int]:
     return np.ascontiguousarray(x), sample_rate
 
 
+_COMPRESSED_EXTS = {".mp3", ".ogg", ".oga", ".opus", ".webm", ".mka", ".mkv"}
+
+
 def load_audio(path: str, sample_rate: Optional[int] = None) -> np.ndarray:
     """Load audio as mono float32, averaging channels (reference:
-    data_loader.py:20-26); optionally resample to ``sample_rate``."""
-    x, sr = read_wav(path)
-    y = x[0] if x.shape[0] == 1 else x.mean(axis=0)
+    data_loader.py:20-26); optionally resample to ``sample_rate``.
+
+    Dispatch: WAV via the stdlib reader; FLAC via the native C++ decoder;
+    mp3/ogg/opus/webm via the native decoder in cpp/src/audio_decode.cpp
+    (the reference needs torchaudio/sox binaries for these)."""
+    import os as _os
+
+    ext = _os.path.splitext(path)[1].lower()
+    if ext == ".flac":
+        from dsjax.cpp.flac_binding import decode_flac
+
+        y, sr = decode_flac(path)
+    elif ext in _COMPRESSED_EXTS:
+        from dsjax.cpp.audio_binding import decode_file
+
+        y, sr = decode_file(path)
+    else:
+        x, sr = read_wav(path)
+        y = x[0] if x.shape[0] == 1 else x.mean(axis=0)
     if sample_rate is not None and sr != sample_rate:
         y = resample(y, sr, sample_rate)
     return np.ascontiguousarray(y, dtype=np.float32)

@@ -14,7 +14,7 @@ SRC_DIR = os.path.join(os.path.dirname(__file__), "src")
 LIB_DIR = os.path.join(os.path.dirname(__file__), "lib")
 LIB_PATH = os.path.join(LIB_DIR, "libdsjax.so")
 
-SOURCES = ["lm.cpp", "beam.cpp", "flac.cpp"]
+SOURCES = ["lm.cpp", "beam.cpp", "flac.cpp", "audio_decode.cpp"]
 
 
 def build(debug: bool = False, verbose: bool = True) -> str:

@@ -1,10 +1,11 @@
 """Mozilla CommonVoice dataset prep (reference parity: data/common_voice.py).
 
 Reads the TSV clip lists, writes per-clip uppercased transcripts, and
-converts clips to 16k mono wav. CommonVoice ships mp3; there is no native
-mp3 decoder in this environment, so conversion requires an ``ffmpeg`` or
-``mpg123`` binary on PATH when clips are mp3 — wav/flac clips convert
-natively.
+converts clips to 16k mono wav. CommonVoice ships mp3, decoded IN-PROCESS
+by the native decoder (dsjax/cpp/src/audio_decode.cpp via libmpg123) — no
+ffmpeg/sox binary needed (the reference shells out to sox,
+data/common_voice.py:22-60). An ffmpeg/mpg123 binary on PATH is used only
+as a fallback when the codec libraries are absent.
 """
 
 from __future__ import annotations
@@ -24,6 +25,16 @@ COMMON_VOICE_URL = ("https://voice-prod-bundler-ee1969a6ce8178826482b88e843c3351
 
 
 def _mp3_to_wav(src: str, dst: str, sample_rate: int) -> None:
+    from dsjax.cpp.audio_binding import available_formats, decode_file
+
+    if available_formats() & 1:  # native in-process mp3 decode
+        from dsjax.audio.io import resample, save_wav
+
+        y, sr = decode_file(src)
+        if sr != sample_rate:
+            y = resample(y, sr, sample_rate)
+        save_wav(dst, y, sample_rate)
+        return
     for tool, cmd in (("ffmpeg", ["ffmpeg", "-y", "-v", "quiet", "-i", src,
                                   "-ar", str(sample_rate), "-ac", "1", dst]),
                       ("mpg123", ["mpg123", "-q", "-w", dst, "-r", str(sample_rate),
@@ -32,8 +43,8 @@ def _mp3_to_wav(src: str, dst: str, sample_rate: int) -> None:
             subprocess.check_call(cmd)
             return
     raise RuntimeError(
-        "mp3 decoding needs ffmpeg or mpg123 on PATH; none found. "
-        "CommonVoice clips are mp3 — install one of them or pre-convert to wav.")
+        "mp3 decoding needs the system libmpg123 or an ffmpeg/mpg123 binary; "
+        "none found. Pre-convert CommonVoice clips to wav.")
 
 
 def convert_split(tsv_file: str, target_dir: str, sample_rate: int) -> None:

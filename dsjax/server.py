@@ -8,8 +8,9 @@ single-threaded Flask dev server:
   * both whole-file and chunked streaming paths work (the reference has a
     latent bug passing no chunk_size_seconds, server.py:40-47);
   * GET /health for orchestration liveness probes.
-Only .wav is accepted natively; .mp3/.ogg/.webm need an external decoder and
-return 415 with a clear message (the reference shells out to sox for these).
+Accepted uploads: .wav/.flac natively, plus .mp3/.ogg/.opus/.webm through
+the in-process native decoder (dsjax/cpp/src/audio_decode.cpp) — the
+reference needs sox/torchaudio binaries for those (server.py:22-30).
 """
 
 from __future__ import annotations
@@ -30,8 +31,8 @@ from dsjax.audio.io import load_audio
 from dsjax.config import ServerConfig
 from dsjax.inference import decode_results, load_decoder, load_model
 
-ALLOWED_EXTENSIONS = {"wav"}
-KNOWN_UNSUPPORTED = {"mp3", "ogg", "webm"}
+ALLOWED_EXTENSIONS = {"wav", "flac"}
+COMPRESSED_EXTENSIONS = {"mp3", "ogg", "oga", "opus", "webm"}
 
 
 class _Request:
@@ -231,17 +232,31 @@ def make_handler(worker: BatchWorker, cfg: ServerConfig):
                 self._send(400, {"error": "expected multipart file upload or audio/wav body"})
                 return
             ext = (filename or "upload.wav").rsplit(".", 1)[-1].lower()
-            if ext in KNOWN_UNSUPPORTED:
-                self._send(415, {"error": f".{ext} needs an external decoder; send .wav"})
-                return
-            if ext not in ALLOWED_EXTENSIONS:
+            if ext in COMPRESSED_EXTENSIONS:
+                from dsjax.cpp.audio_binding import available_formats
+
+                if not available_formats():
+                    self._send(415, {"error": f".{ext}: no codec libraries "
+                                              f"available on this host"})
+                    return
+            elif ext not in ALLOWED_EXTENSIONS:
                 self._send(415, {"error": f"unsupported extension .{ext}"})
                 return
             try:
-                with tempfile.NamedTemporaryFile(suffix=".wav") as f:
-                    f.write(payload)
-                    f.flush()
-                    audio = load_audio(f.name, worker.bundle.spect_cfg.sample_rate)
+                sr = worker.bundle.spect_cfg.sample_rate
+                if ext in COMPRESSED_EXTENSIONS:
+                    from dsjax.audio.io import resample
+                    from dsjax.cpp.audio_binding import decode_bytes
+
+                    audio, in_sr = decode_bytes(payload)
+                    if in_sr != sr:
+                        audio = np.ascontiguousarray(
+                            resample(audio, in_sr, sr), np.float32)
+                else:
+                    with tempfile.NamedTemporaryFile(suffix=f".{ext}") as f:
+                        f.write(payload)
+                        f.flush()
+                        audio = load_audio(f.name, sr)
             except Exception as e:
                 self._send(400, {"error": f"could not decode audio: {e}"})
                 return

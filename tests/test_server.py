@@ -105,11 +105,60 @@ def test_concurrent_requests_batched(server_port):
 
 
 def test_unsupported_extension(server_port):
-    body, ctype = _multipart("x.mp3", b"not really mp3")
+    body, ctype = _multipart("x.aiff", b"FORM....AIFF")
     conn = http.client.HTTPConnection("127.0.0.1", server_port, timeout=30)
     conn.request("POST", "/transcribe", body=body,
                  headers={"Content-Type": ctype})
     assert conn.getresponse().status == 415
+
+
+def test_garbage_mp3_rejected_400(server_port):
+    body, ctype = _multipart("x.mp3", b"not really mp3 data at all")
+    conn = http.client.HTTPConnection("127.0.0.1", server_port, timeout=30)
+    conn.request("POST", "/transcribe", body=body,
+                 headers={"Content-Type": ctype})
+    assert conn.getresponse().status == 400
+
+
+def test_mp3_upload_transcribed(server_port):
+    """Compressed uploads decode in-process (reference accepts mp3 at the
+    server via sox, server.py:22-30)."""
+    from dsjax.cpp.audio_binding import available_formats, FMT_MP3
+    from tests.codec_fixtures import encode_mp3
+
+    if not available_formats() & FMT_MP3:
+        pytest.skip("libmpg123 unavailable")
+    y = (0.3 * np.sin(2 * np.pi * 300 * np.arange(4800) / 16000)).astype(np.float32)
+    blob = encode_mp3(y, 16000)
+    if blob is None:
+        pytest.skip("libmp3lame unavailable")
+    body, ctype = _multipart("clip.mp3", blob)
+    conn = http.client.HTTPConnection("127.0.0.1", server_port, timeout=120)
+    conn.request("POST", "/transcribe", body=body,
+                 headers={"Content-Type": ctype})
+    r = conn.getresponse()
+    payload = json.loads(r.read())
+    assert r.status == 200, payload
+    assert "transcription" in payload["output"][0]
+
+
+def test_webm_opus_upload_transcribed(server_port):
+    from dsjax.cpp.audio_binding import available_formats, FMT_OPUS
+    from tests.codec_fixtures import encode_webm_opus
+
+    if not available_formats() & FMT_OPUS:
+        pytest.skip("libopus unavailable")
+    y = (0.3 * np.sin(2 * np.pi * 300 * np.arange(48000) / 48000)).astype(np.float32)
+    blob = encode_webm_opus(y)
+    if blob is None:
+        pytest.skip("libopus encoder unavailable")
+    body, ctype = _multipart("clip.webm", blob)
+    conn = http.client.HTTPConnection("127.0.0.1", server_port, timeout=120)
+    conn.request("POST", "/transcribe", body=body,
+                 headers={"Content-Type": ctype})
+    r = conn.getresponse()
+    payload = json.loads(r.read())
+    assert r.status == 200, payload
 
 
 def test_parse_upload_raw_body():
