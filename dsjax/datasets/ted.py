@@ -8,12 +8,10 @@ parsing and trimming are native (no sox).
 from __future__ import annotations
 
 import argparse
-import io
+import dataclasses
 import os
 import unicodedata
-from typing import Dict, List
-
-import numpy as np
+from typing import List
 
 from dsjax.audio.io import resample, save_wav
 from dsjax.data.manifest import create_manifest
@@ -21,25 +19,50 @@ from dsjax.datasets.common import add_data_opts, download, extract, read_sphere
 
 TED_LIUM_V2_DL_URL = "http://www.openslr.org/resources/19/TEDLIUM_release2.tar.gz"
 
-
-def get_utterances_from_stm(stm_file: str) -> List[Dict]:
-    res = []
-    with io.open(stm_file, "r", encoding="utf-8") as f:
-        for stm_line in f:
-            tokens = stm_line.split()
-            start_time, end_time = float(tokens[3]), float(tokens[4])
-            filename = tokens[0]
-            transcript = unicodedata.normalize(
-                "NFKD", " ".join(t for t in tokens[6:]).strip()
-            ).encode("utf-8", "ignore").decode("utf-8", "ignore")
-            if transcript != "ignore_time_segment_in_scoring":
-                res.append({"start_time": start_time, "end_time": end_time,
-                            "filename": filename, "transcript": transcript})
-    return res
+# STM label marking non-scoreable regions (inter-talk silence etc.)
+_NON_SCORED = "ignore_time_segment_in_scoring"
 
 
-def _preprocess_transcript(phrase: str) -> str:
-    return phrase.strip().upper()
+@dataclasses.dataclass
+class StmSegment:
+    """One scoreable segment of an NIST STM transcript file."""
+
+    recording: str
+    start: float
+    end: float
+    text: str
+
+    @property
+    def duration(self) -> float:
+        return self.end - self.start
+
+
+def parse_stm(stm_file: str) -> List[StmSegment]:
+    """Parse an STM segment list.
+
+    Line layout: ``<recording> <channel> <speaker> <start> <end> <label>
+    <transcript...>``. Non-scoreable segments are dropped, and the text is
+    NFKD-folded to ASCII (TED-LIUM transcripts carry typographic apostrophes
+    and accented characters the 29-char label alphabet cannot express;
+    accent-stripped letters survive where raw bytes would be dropped by the
+    label encoder).
+    """
+    segments: List[StmSegment] = []
+    with open(stm_file, encoding="utf-8") as fh:
+        for raw in fh:
+            fields = raw.split(None, 6)
+            if len(fields) < 7:
+                continue
+            text = fields[6].strip()
+            if text == _NON_SCORED:
+                continue
+            folded = unicodedata.normalize("NFKD", text)
+            folded = folded.encode("ascii", "ignore").decode("ascii")
+            segments.append(StmSegment(recording=fields[0],
+                                       start=float(fields[3]),
+                                       end=float(fields[4]),
+                                       text=folded))
+    return segments
 
 
 def prepare_dir(ted_dir: str, sample_rate: int, min_len_sec: float = 1.0) -> None:
@@ -49,25 +72,22 @@ def prepare_dir(ted_dir: str, sample_rate: int, min_len_sec: float = 1.0) -> Non
     os.makedirs(wav_dir, exist_ok=True)
     os.makedirs(txt_dir, exist_ok=True)
     for sph_file in sorted(os.listdir(os.path.join(ted_dir, "sph"))):
-        speaker = sph_file.split(".sph")[0]
-        sph_path = os.path.join(ted_dir, "sph", sph_file)
-        stm_path = os.path.join(ted_dir, "stm", f"{speaker}.stm")
+        talk = sph_file.split(".sph")[0]
+        stm_path = os.path.join(ted_dir, "stm", f"{talk}.stm")
         if not os.path.exists(stm_path):
             continue
-        utterances = [u for u in get_utterances_from_stm(stm_path)
-                      if u["end_time"] - u["start_time"] > min_len_sec]
-        audio, sr = read_sphere(sph_path)
+        segments = [s for s in parse_stm(stm_path) if s.duration > min_len_sec]
+        audio, sr = read_sphere(os.path.join(ted_dir, "sph", sph_file))
         if sr != sample_rate:
             audio = resample(audio, sr, sample_rate)
             sr = sample_rate
-        for uid, utt in enumerate(utterances):
-            i0 = int(utt["start_time"] * sr)
-            i1 = int(utt["end_time"] * sr)
-            seg = audio[i0:i1]
-            save_wav(os.path.join(wav_dir, f"{utt['filename']}_{uid}.wav"), seg, sr)
-            with open(os.path.join(txt_dir, f"{utt['filename']}_{uid}.txt"), "w",
+        for uid, seg in enumerate(segments):
+            clip = audio[int(seg.start * sr):int(seg.end * sr)]
+            stem = f"{seg.recording}_{uid}"
+            save_wav(os.path.join(wav_dir, stem + ".wav"), clip, sr)
+            with open(os.path.join(txt_dir, stem + ".txt"), "w",
                       encoding="utf-8") as f:
-                f.write(_preprocess_transcript(utt["transcript"]))
+                f.write(seg.text.strip().upper())
 
 
 def main() -> None:

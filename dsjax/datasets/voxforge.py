@@ -21,51 +21,62 @@ VOXFORGE_URL_16kHz = ("http://www.repository.voxforge1.org/downloads/SpeechCorpu
                       "Trunk/Audio/Main/16kHz_16bit/")
 
 
-def _get_recordings_dir(sample_dir: str, recording_name: str):
-    for kind in ("wav", "flac"):
-        d = os.path.join(sample_dir, recording_name, kind)
-        if os.path.exists(d):
-            return kind, d
-    raise FileNotFoundError(f"wav or flac dir not found for {recording_name}")
+def _read_prompts(prompts_file: str):
+    """PROMPTS lines: ``<path/utt_id> <word> <word> ...`` ->
+    {utt_id: UPPERCASED transcript}."""
+    prompts = {}
+    with open(prompts_file, errors="replace") as f:
+        for line in f:
+            head, _, text = line.strip().partition(" ")
+            if head and text:
+                prompts[os.path.basename(head)] = text.upper()
+    return prompts
 
 
 def prepare_sample(recording_name: str, url: str, target_folder: str,
                    sample_rate: int = 16000) -> None:
+    """Download one speaker tarball and emit wav/txt pairs for every prompt
+    that has a matching wav or flac recording. A per-recording marker file
+    under .done/ makes re-runs resumable without re-downloading."""
     wav_dir = os.path.join(target_folder, "wav")
     txt_dir = os.path.join(target_folder, "txt")
-    os.makedirs(wav_dir, exist_ok=True)
-    os.makedirs(txt_dir, exist_ok=True)
-    done = {"_".join(w.split("_")[:-1]) for w in os.listdir(wav_dir)}
-    if recording_name in done:
+    done_dir = os.path.join(target_folder, ".done")
+    for d in (wav_dir, txt_dir, done_dir):
+        os.makedirs(d, exist_ok=True)
+    marker = os.path.join(done_dir, recording_name)
+    if os.path.exists(marker):
         return
     with urllib.request.urlopen(url) as resp:
         content = resp.read()
     with tempfile.TemporaryDirectory() as dirpath:
         with tarfile.open(fileobj=io.BytesIO(content)) as tar:
             tar.extractall(dirpath)
-        kind, recordings_dir = _get_recordings_dir(dirpath, recording_name)
-        prompts_file = os.path.join(dirpath, recording_name, "etc", "PROMPTS")
+        root = os.path.join(dirpath, recording_name)
+        prompts_file = os.path.join(root, "etc", "PROMPTS")
         if not os.path.exists(prompts_file):
             return
-        with open(prompts_file) as f:
-            for line in f:
-                parts = line.strip().split()
-                if len(parts) < 2:
-                    continue
-                utt_id = parts[0].split("/")[-1]
-                transcript = " ".join(parts[1:]).upper()
-                src = os.path.join(recordings_dir, f"{utt_id}.{kind}")
-                if not os.path.exists(src):
-                    continue
-                base = f"{recording_name}_{utt_id}"
-                try:
-                    convert_to_wav(src, os.path.join(wav_dir, base + ".wav"),
-                                   sample_rate)
-                except Exception as e:
-                    print(f"skipping {src}: {e}")
-                    continue
-                with open(os.path.join(txt_dir, base + ".txt"), "w") as tf:
-                    tf.write(transcript)
+        audio_dirs = [(k, os.path.join(root, k)) for k in ("wav", "flac")
+                      if os.path.isdir(os.path.join(root, k))]
+        if not audio_dirs:
+            print(f"skipping {recording_name}: no wav/ or flac/ directory")
+            return
+        for utt_id, transcript in _read_prompts(prompts_file).items():
+            src = next((os.path.join(d, f"{utt_id}.{k}") for k, d in audio_dirs
+                        if os.path.exists(os.path.join(d, f"{utt_id}.{k}"))),
+                       None)
+            if src is None:
+                continue
+            stem = f"{recording_name}_{utt_id}"
+            try:
+                convert_to_wav(src, os.path.join(wav_dir, stem + ".wav"),
+                               sample_rate)
+            except Exception as e:
+                print(f"skipping {src}: {e}")
+                continue
+            with open(os.path.join(txt_dir, stem + ".txt"), "w") as tf:
+                tf.write(transcript)
+    with open(marker, "w") as mf:
+        mf.write(url)
 
 
 def main() -> None:
