@@ -230,6 +230,10 @@ class ServerConfig(InferenceConfig):
     chunk_size_seconds: float = -1.0
     max_batch: int = 8                  # server-side dynamic batching cap
     batch_timeout_ms: float = 20.0
+    # pre-compile all power-of-2 batch shapes at startup for this utterance
+    # length (seconds); 0 disables. Without it the first request at each
+    # batch size pays a full XLA compile (tens of seconds on TPU).
+    warmup_seconds: float = 10.0
 
 
 # ---------------------------------------------------------------------------

