@@ -41,8 +41,21 @@ def load_lib() -> ctypes.CDLL:
     lib.ds_levenshtein.restype = ctypes.c_int
     lib.ds_levenshtein.argtypes = [ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
                                    ctypes.POINTER(ctypes.c_int32), ctypes.c_int]
+    lib.ds_lm_build_binary.restype = ctypes.c_int
+    lib.ds_lm_build_binary.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+    lib.ds_lm_order.restype = ctypes.c_int
+    lib.ds_lm_order.argtypes = [ctypes.c_void_p]
     _lib = lib
     return lib
+
+
+def build_lm_binary(arpa_path: str, out_path: str) -> None:
+    """ARPA text -> mmap-ready DSLMBIN1 binary (KenLM-binary equivalent:
+    O(1) load, binary-search queries; reference decoder.py:69-74 loads
+    KenLM binaries through ctcdecode)."""
+    rc = load_lib().ds_lm_build_binary(arpa_path.encode(), out_path.encode())
+    if rc != 0:
+        raise IOError(f"binary LM build failed (code {rc}) for {arpa_path}")
 
 
 class CppLM:
@@ -50,7 +63,11 @@ class CppLM:
         self.lib = load_lib()
         self.handle = self.lib.ds_lm_load(path.encode())
         if not self.handle:
-            raise IOError(f"failed to load ARPA LM from {path}")
+            raise IOError(f"failed to load LM from {path} (ARPA or DSLMBIN1)")
+
+    @property
+    def order(self) -> int:
+        return int(self.lib.ds_lm_order(self.handle))
 
     def score_word(self, word: str, context: Sequence[str]) -> float:
         arr = (ctypes.c_char_p * len(context))(*[c.encode() for c in context])

@@ -66,12 +66,12 @@ struct Decoder {
   std::vector<std::string> labels;
   int blank;
   int space;
-  const ArpaLM* lm = nullptr;  // borrowed
+  const Lm* lm = nullptr;  // borrowed
 
   // Extract the last word ending at `node` (exclusive of the space at
   // node itself) plus up to (order-1) history words, oldest first.
   double lm_score(const TrieNode* node, double alpha, double beta) const {
-    if (!lm) return beta;
+    if (!lm) return 0.0;  // ctcdecode applies alpha/beta only via the LM
     // collect labels back to root
     std::vector<std::string> words;
     std::string cur;
@@ -113,21 +113,23 @@ struct Candidate {
 extern "C" {
 
 void* ds_lm_load(const char* path) {
-  auto* lm = new dsjax::ArpaLM(path);
-  if (!lm->ok()) {
-    delete lm;
-    return nullptr;
-  }
-  return lm;
+  // sniffs the format: DSLMBIN1 binary (mmap'd) or ARPA text
+  return dsjax::LoadLm(path).release();
 }
 
-void ds_lm_free(void* lm) { delete static_cast<dsjax::ArpaLM*>(lm); }
+void ds_lm_free(void* lm) { delete static_cast<dsjax::Lm*>(lm); }
 
 double ds_lm_score_word(void* lm, const char** context, int n_context,
                         const char* word) {
   std::vector<std::string> ctx(context, context + n_context);
-  return static_cast<dsjax::ArpaLM*>(lm)->score_word(ctx, word);
+  return static_cast<dsjax::Lm*>(lm)->score_word(ctx, word);
 }
+
+int ds_lm_build_binary(const char* arpa_path, const char* out_path) {
+  return dsjax::BuildBinaryLm(arpa_path, out_path);
+}
+
+int ds_lm_order(void* lm) { return static_cast<dsjax::Lm*>(lm)->order(); }
 
 void* ds_beam_create(const char** labels, int num_labels, int blank_index,
                      int space_index, void* lm) {
@@ -135,7 +137,7 @@ void* ds_beam_create(const char** labels, int num_labels, int blank_index,
   d->labels.assign(labels, labels + num_labels);
   d->blank = blank_index;
   d->space = space_index;
-  d->lm = static_cast<dsjax::ArpaLM*>(lm);
+  d->lm = static_cast<dsjax::Lm*>(lm);
   return d;
 }
 

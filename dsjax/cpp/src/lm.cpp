@@ -1,5 +1,11 @@
 #include "lm.h"
 
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
+
+#include <algorithm>
 #include <cmath>
 #include <cstdio>
 #include <cstring>
@@ -10,6 +16,8 @@ namespace dsjax {
 
 namespace {
 constexpr double kLog10ToLn = 2.302585092994046;
+constexpr uint32_t kOov = 0xFFFFFFFFu;
+constexpr char kMagic[8] = {'D', 'S', 'L', 'M', 'B', 'I', 'N', '1'};
 
 std::string join(const std::vector<std::string>& words, size_t start,
                  size_t end) {
@@ -20,7 +28,40 @@ std::string join(const std::vector<std::string>& words, size_t start,
   }
   return out;
 }
+
+uint64_t fnv1a64(const std::string& s) {
+  uint64_t h = 1469598103934665603ULL;
+  for (unsigned char c : s) {
+    h ^= c;
+    h *= 1099511628211ULL;
+  }
+  return h;
+}
+
+uint64_t mix64(uint64_t x) {
+  x += 0x9e3779b97f4a7c15ULL;
+  x = (x ^ (x >> 30)) * 0xbf58476d1ce4e5b9ULL;
+  x = (x ^ (x >> 27)) * 0x94d049bb133111ebULL;
+  return x ^ (x >> 31);
+}
+
+uint64_t ngram_key(const uint32_t* ids, size_t n) {
+  uint64_t h = 0x51ed270b0a3f32d1ULL;
+  for (size_t i = 0; i < n; ++i) h = mix64(h ^ (uint64_t)ids[i]);
+  return h;
+}
+
+size_t align8(size_t x) { return (x + 7) & ~(size_t)7; }
 }  // namespace
+
+double Lm::score_word_ln(const std::vector<std::string>& context,
+                         const std::string& word) const {
+  return score_word(context, word) * kLog10ToLn;
+}
+
+// ---------------------------------------------------------------------------
+// ArpaLM (text)
+// ---------------------------------------------------------------------------
 
 ArpaLM::ArpaLM(const std::string& path) {
   std::ifstream f(path);
@@ -105,9 +146,245 @@ double ArpaLM::score_word(const std::vector<std::string>& context,
   return score_rec(ngram, 0);
 }
 
-double ArpaLM::score_word_ln(const std::vector<std::string>& context,
-                             const std::string& word) const {
-  return score_word(context, word) * kLog10ToLn;
+// ---------------------------------------------------------------------------
+// BinaryLM (mmap'd DSLMBIN1)
+// ---------------------------------------------------------------------------
+
+BinaryLM::BinaryLM(const std::string& path) {
+  fd_ = open(path.c_str(), O_RDONLY);
+  if (fd_ < 0) return;
+  struct stat st;
+  if (fstat(fd_, &st) != 0 || st.st_size < 32) return;
+  map_len_ = (size_t)st.st_size;
+  map_ = mmap(nullptr, map_len_, PROT_READ, MAP_SHARED, fd_, 0);
+  if (map_ == MAP_FAILED) {
+    map_ = nullptr;
+    return;
+  }
+  const uint8_t* p = (const uint8_t*)map_;
+  if (memcmp(p, kMagic, 8) != 0) return;
+  uint32_t order, vocab, unk, reserved;
+  memcpy(&order, p + 8, 4);
+  memcpy(&vocab, p + 12, 4);
+  memcpy(&unk, p + 16, 4);
+  memcpy(&reserved, p + 20, 4);
+  size_t off = 24;
+  counts_.resize(order);
+  memcpy(counts_.data(), p + off, 8 * order);
+  off = align8(off + 8 * order);
+  vocab_ = vocab;
+  unk_id_ = unk;
+  has_unk_ = unk != kOov;
+  vocab_hashes_ = (const uint64_t*)(p + off);
+  off += 8 * (size_t)vocab;
+  uni_logp_ = (const float*)(p + off);
+  off += 4 * (size_t)vocab;
+  uni_backoff_ = (const float*)(p + off);
+  off = align8(off + 4 * (size_t)vocab);
+  keys_.assign(order, nullptr);
+  logp_.assign(order, nullptr);
+  backoff_.assign(order, nullptr);
+  for (uint32_t n = 2; n <= order; ++n) {
+    uint64_t cnt = counts_[n - 1];
+    keys_[n - 1] = (const uint64_t*)(p + off);
+    off += 8 * cnt;
+    logp_[n - 1] = (const float*)(p + off);
+    off += 4 * cnt;
+    backoff_[n - 1] = (const float*)(p + off);
+    off = align8(off + 4 * cnt);
+  }
+  if (off > map_len_) return;  // truncated file
+  order_ = (int)order;
+}
+
+BinaryLM::~BinaryLM() {
+  if (map_) munmap(map_, map_len_);
+  if (fd_ >= 0) close(fd_);
+}
+
+uint32_t BinaryLM::word_id(const std::string& w) const {
+  uint64_t h = fnv1a64(w);
+  const uint64_t* lo = vocab_hashes_;
+  const uint64_t* hi = vocab_hashes_ + vocab_;
+  const uint64_t* it = std::lower_bound(lo, hi, h);
+  if (it != hi && *it == h) return (uint32_t)(it - lo);
+  return kOov;
+}
+
+double BinaryLM::score_ids(const uint32_t* ids, size_t n) const {
+  if (n == 0) return -99.0;
+  if (n == 1) {
+    if (ids[0] != kOov) return uni_logp_[ids[0]];
+    if (has_unk_) return uni_logp_[unk_id_];
+    return -100.0;
+  }
+  if ((int)n <= order_) {
+    uint64_t key = ngram_key(ids, n);
+    const uint64_t* lo = keys_[n - 1];
+    const uint64_t* hi = lo + counts_[n - 1];
+    const uint64_t* it = std::lower_bound(lo, hi, key);
+    if (it != hi && *it == key) return logp_[n - 1][it - lo];
+  }
+  double bo = 0.0;
+  size_t ctx_n = n - 1;
+  if (ctx_n == 1) {
+    if (ids[0] != kOov) bo = uni_backoff_[ids[0]];
+  } else if ((int)ctx_n <= order_) {
+    uint64_t key = ngram_key(ids, ctx_n);
+    const uint64_t* lo = keys_[ctx_n - 1];
+    const uint64_t* hi = lo + counts_[ctx_n - 1];
+    const uint64_t* it = std::lower_bound(lo, hi, key);
+    if (it != hi && *it == key) bo = backoff_[ctx_n - 1][it - lo];
+  }
+  return bo + score_ids(ids + 1, n - 1);
+}
+
+double BinaryLM::score_word(const std::vector<std::string>& context,
+                            const std::string& word) const {
+  uint32_t ids[16];
+  size_t ctx_keep =
+      order_ > 1
+          ? std::min(context.size(), (size_t)std::min(order_ - 1, 15))
+          : 0;
+  size_t n = 0;
+  for (size_t i = context.size() - ctx_keep; i < context.size(); ++i)
+    ids[n++] = word_id(context[i]);
+  ids[n++] = word_id(word);
+  return score_ids(ids, n);
+}
+
+// ---------------------------------------------------------------------------
+// loader + builder
+// ---------------------------------------------------------------------------
+
+std::unique_ptr<Lm> LoadLm(const std::string& path) {
+  {
+    std::ifstream f(path, std::ios::binary);
+    if (!f.is_open()) return nullptr;
+    char head[8] = {0};
+    f.read(head, 8);
+    if (f.gcount() == 8 && memcmp(head, kMagic, 8) == 0) {
+      auto lm = std::make_unique<BinaryLM>(path);
+      return lm->ok() ? std::unique_ptr<Lm>(std::move(lm)) : nullptr;
+    }
+  }
+  auto lm = std::make_unique<ArpaLM>(path);
+  return lm->ok() ? std::unique_ptr<Lm>(std::move(lm)) : nullptr;
+}
+
+int BuildBinaryLm(const std::string& arpa_path, const std::string& out_path) {
+  ArpaLM src(arpa_path);
+  if (!src.ok()) return 1;
+  const uint32_t order = (uint32_t)src.order_;
+
+  // vocabulary: unigram words sorted by hash; id = sorted index
+  std::vector<std::pair<uint64_t, const std::string*>> vh;
+  vh.reserve(src.ngrams_[0].size());
+  for (auto& kv : src.ngrams_[0]) vh.emplace_back(fnv1a64(kv.first), &kv.first);
+  std::sort(vh.begin(), vh.end());
+  for (size_t i = 1; i < vh.size(); ++i)
+    if (vh[i].first == vh[i - 1].first) return 2;  // vocab hash collision
+  std::unordered_map<std::string, uint32_t> word_ids;
+  word_ids.reserve(vh.size());
+  for (size_t i = 0; i < vh.size(); ++i) word_ids[*vh[i].second] = (uint32_t)i;
+  const uint32_t vocab = (uint32_t)vh.size();
+  uint32_t unk = kOov;
+  auto unk_it = word_ids.find("<unk>");
+  if (unk_it != word_ids.end()) unk = unk_it->second;
+
+  FILE* out = fopen(out_path.c_str(), "wb");
+  if (!out) return 3;
+  auto w = [&](const void* ptr, size_t len) { fwrite(ptr, 1, len, out); };
+  auto pad8 = [&]() {
+    long pos = ftell(out);
+    static const char z[8] = {0};
+    if (pos & 7) w(z, 8 - (pos & 7));
+  };
+  w(kMagic, 8);
+  w(&order, 4);
+  w(&vocab, 4);
+  w(&unk, 4);
+  uint32_t reserved = 0;
+  w(&reserved, 4);
+  std::vector<uint64_t> counts(order);
+  for (uint32_t n = 1; n <= order; ++n) counts[n - 1] = src.ngrams_[n - 1].size();
+  counts[0] = vocab;
+  w(counts.data(), 8 * order);
+  pad8();
+
+  // unigram tables, id-indexed
+  {
+    std::vector<uint64_t> hashes(vocab);
+    std::vector<float> lp(vocab, -100.0f), bo(vocab, 0.0f);
+    for (uint32_t i = 0; i < vocab; ++i) {
+      hashes[i] = vh[i].first;
+      auto& e = src.ngrams_[0].at(*vh[i].second);
+      lp[i] = e.logp;
+      bo[i] = e.backoff;
+    }
+    w(hashes.data(), 8 * (size_t)vocab);
+    w(lp.data(), 4 * (size_t)vocab);
+    w(bo.data(), 4 * (size_t)vocab);
+    pad8();
+  }
+
+  for (uint32_t n = 2; n <= order; ++n) {
+    struct Rec {
+      uint64_t key;
+      float logp, backoff;
+    };
+    std::vector<Rec> recs;
+    recs.reserve(src.ngrams_[n - 1].size());
+    std::vector<uint32_t> ids(n);
+    for (auto& kv : src.ngrams_[n - 1]) {
+      // split the space-joined n-gram back into words -> ids
+      const std::string& s = kv.first;
+      size_t start = 0, k = 0;
+      bool ok = true;
+      while (k < n) {
+        size_t sp = s.find(' ', start);
+        std::string wrd = sp == std::string::npos ? s.substr(start)
+                                                  : s.substr(start, sp - start);
+        auto it = word_ids.find(wrd);
+        if (it == word_ids.end()) {
+          ok = false;  // word missing from unigrams (malformed ARPA): skip
+          break;
+        }
+        ids[k++] = it->second;
+        if (sp == std::string::npos) break;
+        start = sp + 1;
+      }
+      if (!ok || k != n) continue;
+      recs.push_back({ngram_key(ids.data(), n), kv.second.logp,
+                      kv.second.backoff});
+    }
+    std::sort(recs.begin(), recs.end(),
+              [](const Rec& a, const Rec& b) { return a.key < b.key; });
+    for (size_t i = 1; i < recs.size(); ++i)
+      if (recs[i].key == recs[i - 1].key) {
+        fclose(out);
+        remove(out_path.c_str());
+        return 4;  // ngram key collision: caller keeps the text model
+      }
+    // count may shrink if malformed entries were skipped: rewrite header later
+    counts[n - 1] = recs.size();
+    std::vector<uint64_t> keys(recs.size());
+    std::vector<float> lp(recs.size()), bo(recs.size());
+    for (size_t i = 0; i < recs.size(); ++i) {
+      keys[i] = recs[i].key;
+      lp[i] = recs[i].logp;
+      bo[i] = recs[i].backoff;
+    }
+    w(keys.data(), 8 * keys.size());
+    w(lp.data(), 4 * lp.size());
+    w(bo.data(), 4 * bo.size());
+    pad8();
+  }
+  // rewrite counts with any skip-adjusted values
+  fseek(out, 24, SEEK_SET);
+  w(counts.data(), 8 * order);
+  fclose(out);
+  return 0;
 }
 
 }  // namespace dsjax

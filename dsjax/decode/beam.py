@@ -26,7 +26,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from dsjax.decode.lm import ArpaLM
+from dsjax.decode.lm import load_word_lm
 from dsjax.labels import LabelMap
 
 NEG_INF = -float("inf")
@@ -66,7 +66,7 @@ class BeamCTCDecoder:
         self.cutoff_prob = cutoff_prob
         self.beam_width = beam_width
         self.num_processes = num_processes
-        self.lm = ArpaLM(lm_path) if lm_path else None
+        self.lm = load_word_lm(lm_path) if lm_path else None
         try:  # native fast path when the C++ extension is built
             from dsjax.cpp.beam_binding import CppBeamDecoder
 

@@ -106,3 +106,33 @@ class ArpaLM:
         if eos:
             total += self.score_word("</s>", context)
         return total
+
+
+BINARY_MAGIC = b"DSLMBIN1"
+
+
+class MmapLM:
+    """Python adapter over the mmap'd DSLMBIN1 binary LM (built with
+    dsjax.cpp.beam_binding.build_lm_binary — the KenLM-binary equivalent).
+    Queries go through the native library; same interface as ArpaLM."""
+
+    def __init__(self, path: str):
+        from dsjax.cpp.beam_binding import CppLM
+
+        self._c = CppLM(path)
+        self.order = self._c.order
+
+    def score_word(self, word: str, context: Sequence[str]) -> float:
+        return self._c.score_word(word, list(context))
+
+    def score_word_ln(self, word: str, context: Sequence[str]) -> float:
+        return self.score_word(word, context) * LOG10_TO_LN
+
+
+def load_word_lm(path: str):
+    """ARPA text (optionally .gz) -> ArpaLM; DSLMBIN1 binary -> MmapLM."""
+    with open(path, "rb") as f:
+        head = f.read(8)
+    if head == BINARY_MAGIC:
+        return MmapLM(path)
+    return ArpaLM(path)

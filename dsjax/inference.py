@@ -92,9 +92,17 @@ def load_model(model_path: str, precision: int = 32) -> ModelBundle:
 
 
 def load_decoder(labels: List[str], cfg: LMConfig):
-    """Greedy or beam decoder from config (reference: utils.py:37-54)."""
+    """Greedy or beam decoder from config (reference: utils.py:37-54).
+
+    LM-free beam decode runs ON DEVICE (DeviceBeamDecoder: one batched jit
+    scan instead of a host loop per utterance); with an LM the host
+    C++/Python beam with shallow fusion is used."""
     if cfg.decoder_type == DecoderType.beam:
-        return BeamCTCDecoder(labels, lm_path=cfg.lm_path or None,
+        if not cfg.lm_path:
+            from dsjax.decode.beam_device import DeviceBeamDecoder
+
+            return DeviceBeamDecoder(labels, beam_width=cfg.beam_width)
+        return BeamCTCDecoder(labels, lm_path=cfg.lm_path,
                               alpha=cfg.alpha, beta=cfg.beta,
                               cutoff_top_n=cfg.cutoff_top_n,
                               cutoff_prob=cfg.cutoff_prob,

@@ -69,3 +69,45 @@ def test_decode_api_uses_native():
     strings, offsets = dec.decode(probs)
     assert isinstance(strings[0][0], str)
     assert len(offsets[0][0]) == len(strings[0][0])
+
+
+def test_binary_lm_matches_text(tmp_path):
+    """DSLMBIN1 (mmap'd, KenLM-binary equivalent) scores == ARPA text."""
+    p = tmp_path / "t.arpa"
+    p.write_text(ARPA)
+    b = tmp_path / "t.bin"
+    cpp.build_lm_binary(str(p), str(b))
+    assert b.read_bytes()[:8] == b"DSLMBIN1"
+    text = cpp.CppLM(str(p))
+    binary = cpp.CppLM(str(b))
+    assert binary.order == text.order == 2
+    cases = [("CAB", ["<s>"]), ("BAC", ["CAB"]), ("ZZZ", []), ("AB", ["CAB"]),
+             ("AB", ["<s>", "CAB"]), ("</s>", ["AB"]), ("CAB", ["ZZZ"]),
+             ("ZZZ", ["ZZZ", "ZZZ"])]
+    for word, ctx in cases:
+        np.testing.assert_allclose(binary.score_word(word, ctx),
+                                   text.score_word(word, ctx), rtol=1e-6,
+                                   err_msg=f"{word}|{ctx}")
+
+
+def test_beam_decode_binary_lm_matches_text(tmp_path):
+    """Full beam decode through the binary LM equals the text-LM decode."""
+    from dsjax.decode.beam import BeamCTCDecoder
+
+    p = tmp_path / "t.arpa"
+    p.write_text(ARPA)
+    b = tmp_path / "t.bin"
+    cpp.build_lm_binary(str(p), str(b))
+    rng = np.random.default_rng(11)
+    d_text = BeamCTCDecoder(LABELS, lm_path=str(p), alpha=1.0, beta=0.4,
+                            beam_width=8, cutoff_top_n=len(LABELS))
+    d_bin = BeamCTCDecoder(LABELS, lm_path=str(b), alpha=1.0, beta=0.4,
+                           beam_width=8, cutoff_top_n=len(LABELS))
+    from dsjax.decode.lm import MmapLM
+
+    assert isinstance(d_bin.lm, MmapLM)  # python twin loads the binary too
+    for _ in range(3):
+        probs = _rand_probs(rng, 14, len(LABELS))[None]
+        s_text, _ = d_text.decode(probs)
+        s_bin, _ = d_bin.decode(probs)
+        assert s_text[0][0] == s_bin[0][0]
