@@ -54,16 +54,23 @@ class OptimizerConfig:
 
 class Objective:
     """Evaluates (alpha, beta) -> (wer, cer). The acoustic model runs once;
-    per-trial cost is decode-only."""
+    per-trial cost is decode-only. ``evaluate_many`` runs up to n_jobs
+    trials concurrently (reference parity: optuna n_jobs,
+    search_lm_params.py:95-100) — each worker owns a decoder; using a
+    binary LM (tools/build_lm_binary.py) makes the per-worker LM cost a
+    shared mmap instead of n_jobs parses."""
 
     def __init__(self, cfg: OptimizerConfig):
         self.cfg = cfg
         bundle = load_model(cfg.model_path, cfg.precision)
         self.labels = bundle.labels
-        self.decoder = BeamCTCDecoder(self.labels, lm_path=cfg.lm_path or None,
-                                      beam_width=cfg.beam_width,
-                                      num_processes=cfg.num_workers,
-                                      blank_index=self.labels.index("_"))
+        make_decoder = lambda: BeamCTCDecoder(
+            self.labels, lm_path=cfg.lm_path or None,
+            beam_width=cfg.beam_width, num_processes=cfg.num_workers,
+            blank_index=self.labels.index("_"))
+        self.decoder = make_decoder()
+        self._pool_decoders = [self.decoder] + [
+            make_decoder() for _ in range(max(1, cfg.n_jobs) - 1)]
         self.target_decoder = GreedyDecoder(self.labels,
                                             blank_index=self.labels.index("_"))
         ds = SpectrogramDataset(bundle.spect_cfg, cfg.test_path, self.labels,
@@ -78,47 +85,77 @@ class Objective:
             self.cached.append((np.asarray(probs), np.asarray(out_lens),
                                 [r[0] for r in refs]))
 
-    def __call__(self, alpha: float, beta: float) -> Tuple[float, float]:
-        self.decoder.reset_params(alpha, beta)
+    def _eval(self, decoder, alpha: float, beta: float) -> Tuple[float, float]:
+        decoder.reset_params(alpha, beta)
         wer, cer = WordErrorRate(), CharErrorRate()
         for probs, out_lens, refs in self.cached:
-            decoded, _ = self.decoder.decode(probs, out_lens)
+            decoded, _ = decoder.decode(probs, out_lens)
             update_batch(wer, cer, [d[0] for d in decoded], refs)
         return wer.compute(), cer.compute()
 
+    def __call__(self, alpha: float, beta: float) -> Tuple[float, float]:
+        return self._eval(self.decoder, alpha, beta)
+
+    def evaluate_many(self, points) -> List[Tuple[float, float]]:
+        """Evaluate [(alpha, beta), ...] with one decoder per worker (the
+        native beam releases the GIL, so threads parallelize for real)."""
+        if len(points) <= 1 or len(self._pool_decoders) <= 1:
+            return [self(a, b) for a, b in points]
+        from concurrent.futures import ThreadPoolExecutor
+
+        results: List[Optional[Tuple[float, float]]] = [None] * len(points)
+        n = len(self._pool_decoders)
+
+        def run(k: int) -> None:
+            dec = self._pool_decoders[k]
+            for i in range(k, len(points), n):
+                a, b = points[i]
+                results[i] = self._eval(dec, a, b)
+
+        with ThreadPoolExecutor(n) as pool:
+            list(pool.map(run, range(n)))
+        return results  # type: ignore[return-value]
+
 
 def tpe_lite(objective: Objective, cfg: OptimizerConfig):
-    """Uniform warmup then gaussian sampling around the elite quantile."""
+    """Uniform warmup then gaussian sampling around the elite quantile.
+    Proposals are made in batches of n_jobs and evaluated concurrently."""
     rng = np.random.default_rng(cfg.seed)
     lo = np.array([cfg.alpha_from, cfg.beta_from])
     hi = np.array([cfg.alpha_to, cfg.beta_to])
     trials: List[Tuple[float, float, float, float]] = []
     n_warmup = max(4, cfg.n_trials // 4)
-    for i in range(cfg.n_trials):
-        if i < n_warmup or len(trials) < 4:
-            x = rng.uniform(lo, hi)
-        else:
-            key = 3 if cfg.is_character_based else 2
-            elite = sorted(trials, key=lambda t: t[key])[: max(2, len(trials) // 4)]
-            centers = np.array([[t[0], t[1]] for t in elite])
-            c = centers[rng.integers(len(centers))]
-            x = np.clip(rng.normal(c, (hi - lo) / 8), lo, hi)
-        wer, cer = objective(float(x[0]), float(x[1]))
-        trials.append((float(x[0]), float(x[1]), wer, cer))
-        print(f"trial {i + 1}/{cfg.n_trials}: alpha={x[0]:.4f} beta={x[1]:.4f} "
-              f"wer={wer:.3f} cer={cer:.3f}")
+    batch = max(1, cfg.n_jobs)
+    i = 0
+    while i < cfg.n_trials:
+        k = min(batch, cfg.n_trials - i)
+        points = []
+        for _ in range(k):
+            if i + len(points) < n_warmup or len(trials) < 4:
+                x = rng.uniform(lo, hi)
+            else:
+                key = 3 if cfg.is_character_based else 2
+                elite = sorted(trials, key=lambda t: t[key])[: max(2, len(trials) // 4)]
+                centers = np.array([[t[0], t[1]] for t in elite])
+                c = centers[rng.integers(len(centers))]
+                x = np.clip(rng.normal(c, (hi - lo) / 8), lo, hi)
+            points.append((float(x[0]), float(x[1])))
+        for (a, b), (wer, cer) in zip(points, objective.evaluate_many(points)):
+            trials.append((a, b, wer, cer))
+            i += 1
+            print(f"trial {i}/{cfg.n_trials}: alpha={a:.4f} beta={b:.4f} "
+                  f"wer={wer:.3f} cer={cer:.3f}")
     return trials
 
 
 def grid_search(objective: Objective, cfg: OptimizerConfig):
     alphas = np.linspace(cfg.alpha_from, cfg.alpha_to, cfg.grid_steps)
     betas = np.linspace(cfg.beta_from, cfg.beta_to, cfg.grid_steps)
+    points = [(float(a), float(b)) for a in alphas for b in betas]
     trials = []
-    for a in alphas:
-        for b in betas:
-            wer, cer = objective(float(a), float(b))
-            trials.append((float(a), float(b), wer, cer))
-            print(f"alpha={a:.3f} beta={b:.3f} wer={wer:.3f} cer={cer:.3f}")
+    for (a, b), (wer, cer) in zip(points, objective.evaluate_many(points)):
+        trials.append((a, b, wer, cer))
+        print(f"alpha={a:.3f} beta={b:.3f} wer={wer:.3f} cer={cer:.3f}")
     return trials
 
 

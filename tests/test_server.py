@@ -243,6 +243,9 @@ def test_lm_search_optimizers():
             wer = (alpha - 1.2) ** 2 + (beta - 0.4) ** 2
             return wer, wer / 2
 
+        def evaluate_many(self, points):
+            return [self(a, b) for a, b in points]
+
     cfg = slp.OptimizerConfig(alpha_from=0, alpha_to=3, beta_from=0, beta_to=1,
                               n_trials=60, is_character_based=False, seed=1)
     import contextlib, io as _io
