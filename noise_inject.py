@@ -10,12 +10,12 @@ from dsjax.audio.augment import NoiseInjector
 from dsjax.audio.io import load_audio, save_wav
 
 parser = argparse.ArgumentParser()
-parser.add_argument("--input-path", default="input.wav", help="The input audio to inject noise into")
-parser.add_argument("--noise-path", default="noise.wav", help="The noise file to mix in")
-parser.add_argument("--output-path", default="output.wav", help="The noise-mixed output audio")
-parser.add_argument("--sample-rate", default=16000, type=int, help="Sample rate to save output as")
+parser.add_argument("--input-path", default="input.wav", help="clean speech wav to corrupt")
+parser.add_argument("--noise-path", default="noise.wav", help="background noise recording")
+parser.add_argument("--output-path", default="output.wav", help="where the mixed wav is written")
+parser.add_argument("--sample-rate", default=16000, type=int, help="output sample rate (Hz)")
 parser.add_argument("--noise-level", type=float, default=1.0,
-                    help="The Signal to Noise ratio (higher means more noise)")
+                    help="noise mix level in [0,1]; larger = noisier output")
 args = parser.parse_args()
 
 if __name__ == "__main__":
