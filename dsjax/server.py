@@ -26,7 +26,7 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 
-from dsjax.audio.features import FeatureExtractor
+from dsjax.audio.features import FeatureExtractor, spectrogram_np
 from dsjax.audio.io import load_audio
 from dsjax.config import ServerConfig
 from dsjax.inference import decode_results, load_decoder, load_model
@@ -55,6 +55,14 @@ class _StreamSession:
         self.carry = None
         self.text: str = ""
         self.prev_label: int = blank_index
+        # running normalization stats over ALL frames seen so far: a tiny
+        # chunk normalized by its own 5-frame statistics is garbage; the
+        # cumulative stats converge to the utterance stats the one-shot
+        # path uses (reference ChunkSpectrogramParser normalizes per chunk
+        # and suffers exactly this on small chunks)
+        self.feat_sum = 0.0
+        self.feat_sumsq = 0.0
+        self.feat_count = 0
         self.lock = threading.Lock()
         self.last_used = time.time()
 
@@ -170,7 +178,18 @@ class BatchWorker(threading.Thread):
         with sess.lock:
             sess.last_used = time.time()
             if len(audio):
-                spect = self.extractor(audio)[None]
+                raw = spectrogram_np(audio, self.bundle.spect_cfg,
+                                     normalize=False)
+                sess.feat_sum += float(raw.astype(np.float64).sum())
+                sess.feat_sumsq += float((raw.astype(np.float64) ** 2).sum())
+                sess.feat_count += raw.size
+                mean = sess.feat_sum / sess.feat_count
+                # ddof=1 + eps floor to match spectrogram_np exactly, so a
+                # single-chunk session equals the one-shot /transcribe path
+                var = max((sess.feat_sumsq - sess.feat_count * mean * mean)
+                          / max(sess.feat_count - 1, 1), 0.0)
+                std = max(np.sqrt(var), 1e-10)
+                spect = ((raw - mean) / std)[None].astype(np.float32)
                 lens = np.array([spect.shape[2]], np.int32)
                 probs, _, sess.carry = self.bundle.forward(spect, lens,
                                                            sess.carry)
