@@ -161,8 +161,21 @@ int ds_beam_decode(void* decoder, const float* probs, int t_dim, int c_dim,
   beams[&root] = BeamScore{0.0, kNegInf};
 
   std::vector<int> order(c_dim);
+  std::vector<double> log_row(c_dim);
   std::vector<std::pair<TrieNode*, BeamScore>> ranked;
   std::unordered_map<TrieNode*, BeamScore> next;
+  // the word-boundary LM bonus depends only on the prefix node; without
+  // this cache it is recomputed (trie walk + string assembly + LM query)
+  // for every (timestep x beam) extension of the same prefix
+  std::unordered_map<const TrieNode*, double> lm_cache;
+  auto lm_bonus = [&](TrieNode* prefix) -> double {
+    if (!d->lm) return 0.0;
+    auto it = lm_cache.find(prefix);
+    if (it != lm_cache.end()) return it->second;
+    double v = d->lm_score(prefix, alpha, beta);
+    lm_cache.emplace(prefix, v);
+    return v;
+  };
 
   for (int t = 0; t < t_dim; ++t) {
     const float* row = probs + (size_t)t * c_dim;
@@ -182,6 +195,8 @@ int ds_beam_decode(void* decoder, const float* probs, int t_dim, int c_dim,
     }
     if (cutoff_top_n < n_keep) n_keep = cutoff_top_n;
     if (n_keep < 1) n_keep = 1;
+    for (int ci = 0; ci < n_keep; ++ci)
+      log_row[order[ci]] = std::log(std::max((double)row[order[ci]], 1e-30));
 
     next.clear();
     for (auto& kv : beams) {
@@ -190,7 +205,7 @@ int ds_beam_decode(void* decoder, const float* probs, int t_dim, int c_dim,
       double p_total = bs.total();
       for (int ci = 0; ci < n_keep; ++ci) {
         int c = order[ci];
-        double p_c = std::log(std::max((double)row[c], 1e-30));
+        double p_c = log_row[c];
         if (c == d->blank) {
           BeamScore& nb = next[prefix];
           nb.p_b = logaddexp(nb.p_b, p_total + p_c);
@@ -204,14 +219,14 @@ int ds_beam_decode(void* decoder, const float* probs, int t_dim, int c_dim,
           // ...or extends after a blank
           double sc = bs.p_b + p_c;
           if (sc != kNegInf) {
-            if (c == d->space) sc += d->lm_score(prefix, alpha, beta);
+            if (c == d->space) sc += lm_bonus(prefix);
             TrieNode* ext = prefix->child(c, t);
             BeamScore& nb2 = next[ext];
             nb2.p_nb = logaddexp(nb2.p_nb, sc);
           }
         } else {
           double sc = p_total + p_c;
-          if (c == d->space) sc += d->lm_score(prefix, alpha, beta);
+          if (c == d->space) sc += lm_bonus(prefix);
           TrieNode* ext = prefix->child(c, t);
           BeamScore& nb2 = next[ext];
           nb2.p_nb = logaddexp(nb2.p_nb, sc);

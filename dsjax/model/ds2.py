@@ -229,11 +229,19 @@ class RecurrentLayer(nn.Module):
         t_dim, b_dim = x.shape[0], x.shape[1]
         h_sz, g = self.hidden_size, spec.gates
         init = _uniform_init(h_sz)
-        # W_hh must fit VMEM alongside staging buffers (~16 MB/core budget)
-        w_bytes = h_sz * g * h_sz * jnp.dtype(self.dtype).itemsize
+        # W_hh plus the double-buffered staging must fit VMEM (~16 MB/core).
+        # The backward kernel stages xp/dgates (2x B x gH each, bf16),
+        # y/c/dy (2x B x H bf16) and f32 dh/dc carries — the largest
+        # footprint; estimate it and fall back to the lax.scan path when a
+        # big batch would blow the scoped-vmem budget (measured: B=256 at
+        # H=1024 needs 23.6 MB and fails to compile).
+        itemsize = jnp.dtype(self.dtype).itemsize
+        w_bytes = h_sz * g * h_sz * itemsize
+        bwd_staging = b_dim * ((4 * g * h_sz + 6 * h_sz) * itemsize
+                               + 2 * h_sz * 4)
         pallas_ok = (self._pallas_enabled()
                      and h_sz % 128 == 0 and b_dim % 8 == 0
-                     and w_bytes <= 9 * 1024 * 1024)
+                     and w_bytes + bwd_staging <= 15 * 1024 * 1024)
 
         def direction(name: str, xd: Array, mask: Array,
                       carry0: Tuple[Array, ...]) -> Tuple[Array, Tuple[Array, ...]]:
