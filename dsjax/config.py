@@ -154,6 +154,9 @@ class TrainerConfig:
     # TPU mesh axes: data-parallel x model-parallel. -1 on data = use all.
     mesh_data: int = -1
     mesh_model: int = 1
+    # multi-slice: number of TPU slices (outer DCN-connected mesh axis);
+    # batches shard over ('dcn', 'data'), gradients reduce hierarchically
+    mesh_dcn: int = 1
     # force a jax platform ('cpu' for CPU smoke/CI runs; '' = default).
     # jax.config wins over the JAX_PLATFORMS env var, which TPU PJRT
     # plugins may override.

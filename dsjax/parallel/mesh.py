@@ -27,18 +27,32 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(data: int = -1, model: int = 1,
-              devices: Optional[list] = None) -> Mesh:
+              devices: Optional[list] = None, dcn: int = 1) -> Mesh:
+    """('data', 'model') mesh, optionally with an outer 'dcn' axis for
+    multi-slice training: slices are connected by data-center network, not
+    ICI, so the dcn axis must be OUTERMOST — gradient reductions then run
+    hierarchically (reduce over ICI within each slice, then the small
+    inter-slice reduce over DCN). jax.devices() orders devices
+    process-major, which is slice-major on multi-slice TPU, so a plain
+    reshape keeps both the dcn axis and per-host batch rows contiguous
+    (the layout dsjax/parallel/multihost.py relies on)."""
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     if data == -1:
-        assert n % model == 0, f"{n} devices not divisible by model={model}"
-        data = n // model
-    assert data * model == n, f"mesh {data}x{model} != {n} devices"
+        assert n % (model * dcn) == 0, \
+            f"{n} devices not divisible by model*dcn={model * dcn}"
+        data = n // (model * dcn)
+    assert dcn * data * model == n, f"mesh {dcn}x{data}x{model} != {n} devices"
+    if dcn > 1:
+        dev_array = np.asarray(devices).reshape(dcn, data, model)
+        return Mesh(dev_array, ("dcn", "data", "model"))
     dev_array = np.asarray(devices).reshape(data, model)
     return Mesh(dev_array, ("data", "model"))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
+    if "dcn" in mesh.shape:
+        return NamedSharding(mesh, P(("dcn", "data")))
     return NamedSharding(mesh, P("data"))
 
 

@@ -57,8 +57,11 @@ class Trainer:
         dtype = jnp.bfloat16 if cfg.trainer.precision == 16 else jnp.float32
         self.model = DeepSpeech2(num_classes=len(labels), spect_cfg=cfg.data.spect,
                                  model_cfg=cfg.model, dtype=dtype)
-        self.mesh = mesh or make_mesh(cfg.trainer.mesh_data, cfg.trainer.mesh_model)
-        self.dp = self.mesh.shape["data"]
+        self.mesh = mesh or make_mesh(cfg.trainer.mesh_data,
+                                      cfg.trainer.mesh_model,
+                                      dcn=cfg.trainer.mesh_dcn)
+        # total data-parallel shards (batch spans ('dcn', 'data'))
+        self.dp = self.mesh.shape["data"] * self.mesh.shape.get("dcn", 1)
         self.tx = make_optimizer(cfg.optim, cfg.trainer)
         self.decoder = GreedyDecoder(labels)
         self._compiled: Dict[Tuple, Callable] = {}

@@ -67,3 +67,26 @@ def test_dp_matches_single_device_loss():
     _, loss_s = t_single.train_step(s_single, batch)
     # multi divides by dp=8, single by 1: rescale
     np.testing.assert_allclose(float(loss_m) * 8, float(loss_s), rtol=1e-4)
+
+
+@pytest.mark.parametrize("dcn,dp,tp", [(2, 4, 1), (2, 2, 2)])
+def test_dcn_mesh_matches_flat_dp(dcn, dp, tp):
+    """Multi-slice ('dcn','data','model') mesh computes the same loss as
+    the flat single-slice mesh for the same global batch (the dcn axis is
+    outermost so the inter-slice reduce rides DCN on real hardware)."""
+    if len(jax.devices()) < dcn * dp * tp:
+        pytest.skip("needs 8 devices")
+    rng_key = jax.random.PRNGKey(3)
+    batch = _tiny_batch(np.random.default_rng(5), 8)
+    cfg = _cfg(8)
+
+    t_dcn = Trainer(cfg, DEFAULT_LABELS,
+                    mesh=make_mesh(dp, tp, devices=jax.devices()[:8], dcn=dcn))
+    t_flat = Trainer(cfg, DEFAULT_LABELS,
+                     mesh=make_mesh(dcn * dp, tp, devices=jax.devices()[:8]))
+    assert t_dcn.dp == dcn * dp
+    s_dcn = t_dcn.shard_state(t_dcn.init_state(rng_key))
+    s_flat = t_flat.shard_state(t_flat.init_state(rng_key))
+    _, loss_d = t_dcn.train_step(s_dcn, batch)
+    _, loss_f = t_flat.train_step(s_flat, batch)
+    np.testing.assert_allclose(float(loss_d), float(loss_f), rtol=1e-4)
