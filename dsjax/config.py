@@ -196,6 +196,9 @@ class LMConfig:
     cutoff_prob: float = 1.0
     beam_width: int = 10
     lm_workers: int = 4
+    # run beam+LM fully ON DEVICE (HBM-resident n-gram tables, LM fusion
+    # inside the beam scan — dsjax.decode.lm_device); needs an ARPA lm_path
+    device_beam: bool = False
 
 
 @dataclass

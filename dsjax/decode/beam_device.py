@@ -16,6 +16,16 @@ formulation. Verified equal to the host search at exhaustive widths.
 
 Emission history is stored as per-step backpointers (parent slot, emitted
 char) and reconstructed on the host with one vectorized numpy backward pass.
+
+Optional ON-DEVICE LM fusion (lm_path): the word n-gram LM lives in HBM as
+hash tables (dsjax.decode.lm_device) and every beam carries rolling hashes
+of its current partial word plus the ids of its last order-1 completed
+words, so the scan adds ``alpha * ln P(word | context) + beta`` at space
+emissions — the exact semantics of the host twin (dsjax.decode.beam:
+word-boundary bonus incl. consecutive-space re-scoring and trailing-word
+finalization) with zero host round-trips. The reference can only do this
+by copying posteriors to the CPU and running ctcdecode+KenLM threads
+(reference decoder.py:103-118).
 """
 
 from __future__ import annotations
@@ -49,9 +59,11 @@ def _seg_logaddexp(flags, values):
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("beam_width", "blank", "merge"))
+@functools.partial(jax.jit, static_argnames=("beam_width", "blank", "merge",
+                                              "space"))
 def _beam_scan(log_probs: jnp.ndarray, sizes: jnp.ndarray, beam_width: int,
-               blank: int, merge: bool = True):
+               blank: int, merge: bool = True, lm=None, alpha=None,
+               beta=None, space: int = -1):
     """log_probs (B, T, C) -> (backptr (T, B, W), emit (T, B, W),
     final total scores (B, W)).
 
@@ -59,7 +71,16 @@ def _beam_scan(log_probs: jnp.ndarray, sizes: jnp.ndarray, beam_width: int,
     independent rolling hashes of its collapsed prefix; candidates are
     sorted by hash and equal-prefix runs have their (p_b, p_nb) masses
     combined with a segmented logsumexp before top-k. Collision probability
-    is ~2^-64 per pair."""
+    is ~2^-64 per pair.
+
+    lm (dsjax.decode.lm_device.PackedLM) enables on-device shallow fusion:
+    extending a beam with `space` adds alpha * ln P(word | context) + beta
+    for the completed word (memoized re-score on consecutive spaces), and
+    final scores include the trailing-word bonus — matching the host
+    BeamCTCDecoder's scoring exactly."""
+    from dsjax.decode.lm_device import (CHAR_A1, CHAR_A2, CHAR_SEED,
+                                        WID_ABSENT, score_word_ln)
+
     b_dim, t_dim, c_dim = log_probs.shape
     w = beam_width
     k_dim = w * (c_dim + 1)
@@ -70,12 +91,19 @@ def _beam_scan(log_probs: jnp.ndarray, sizes: jnp.ndarray, beam_width: int,
     last0 = jnp.full((b_dim, w), -1, jnp.int32)
     h1_0 = jnp.ones((b_dim, w), jnp.int32)
     h2_0 = jnp.ones((b_dim, w), jnp.int32)
+    cw = 1 if lm is None else max(1, lm.order - 1)
+    lm0 = (jnp.full((b_dim, w), CHAR_SEED, jnp.uint32),     # cur-word hash 1
+           jnp.full((b_dim, w), CHAR_SEED, jnp.uint32),     # cur-word hash 2
+           jnp.full((b_dim, w, cw), WID_ABSENT, jnp.int32),  # context ids
+           jnp.zeros((b_dim, w), bool),                      # in_word
+           jnp.zeros((b_dim, w), jnp.float32))               # last-word bonus
 
     classes = jnp.arange(c_dim)
     slot_iota = jnp.arange(w)[None, :]
 
     def step(carry, inp):
-        p_b, p_nb, last, h1, h2 = carry
+        (p_b, p_nb, last, h1, h2), lm_state = carry
+        cur1, cur2, ctx, in_word, memo = lm_state
         lp_t, t = inp
         total = jnp.logaddexp(p_b, p_nb)                # (B, W)
 
@@ -90,6 +118,18 @@ def _beam_scan(log_probs: jnp.ndarray, sizes: jnp.ndarray, beam_width: int,
                                p_b[:, :, None], total[:, :, None])
         ext = from_score + lp_t[:, None, :]             # (B, W, C)
         ext = ext.at[:, :, blank].set(NEG)
+
+        if lm is not None:
+            # word-boundary LM bonus for every space extension: score the
+            # current partial word against the beam's word history; with no
+            # partial word, re-score the previous word (host-twin parity:
+            # prefix.split() skips empty tokens) via the memoized bonus
+            score_ln, wid = score_word_ln(lm, cur1, cur2, ctx)
+            has_words = ctx[..., -1] != WID_ABSENT
+            bonus_new = alpha * score_ln + beta
+            bonus = jnp.where(in_word, bonus_new,
+                              jnp.where(has_words, memo, 0.0))
+            ext = ext.at[:, :, space].add(bonus)
 
         # candidate fields, pool layout [W stays | W*C extends]
         ext_h1 = (h1[:, :, None] * _P1 + (classes + 1)[None, None, :])
@@ -108,12 +148,13 @@ def _beam_scan(log_probs: jnp.ndarray, sizes: jnp.ndarray, beam_width: int,
         cand_char = jnp.broadcast_to(cand_char, (b_dim, k_dim)).astype(jnp.int32)
 
         if merge:
-            # sort by h1 (equal prefixes become adjacent), segment-combine
-            order = jnp.argsort(cand_h1, axis=1)
-            g = lambda a: jnp.take_along_axis(a, order, axis=1)
-            s_b, s_nb = g(cand_b), g(cand_nb)
-            s_h1, s_h2 = g(cand_h1), g(cand_h2)
-            s_last, s_parent, s_char = g(cand_last), g(cand_parent), g(cand_char)
+            # lexicographic sort by (h1, h2) — equal prefixes become
+            # adjacent EXACTLY (a single-key h1 sort can interleave h1
+            # collisions and split a prefix's run); lax.sort carries the
+            # payload fields along, so no gather chain is needed
+            (s_h1, s_h2, s_b, s_nb, s_last, s_parent, s_char) = jax.lax.sort(
+                (cand_h1, cand_h2, cand_b, cand_nb, cand_last,
+                 cand_parent, cand_char), dimension=1, num_keys=2)
             prev_h1 = jnp.pad(s_h1, ((0, 0), (1, 0)))[:, :-1]
             prev_h2 = jnp.pad(s_h2, ((0, 0), (1, 0)))[:, :-1]
             first = ((idx_flat == 0) | (s_h1 != prev_h1)
@@ -138,10 +179,44 @@ def _beam_scan(log_probs: jnp.ndarray, sizes: jnp.ndarray, beam_width: int,
             new_last, new_h1, new_h2 = take(cand_last), take(cand_h1), take(cand_h2)
             parent, char = take(cand_parent), take(cand_char)
 
-        # dead beams must not alias live prefixes
+        # dead beams must not alias live prefixes, and must carry NO mass:
+        # top-k filler slots are run-interior positions whose (m_b, m_nb)
+        # hold real PARTIAL run sums — left alive they would duplicate
+        # their prefix's mass under a different hash
         dead = top_scores <= NEG / 2
         new_h1 = jnp.where(dead, -(slot_iota + 2), new_h1)
         new_h2 = jnp.where(dead, -(slot_iota + 2), new_h2)
+        new_p_b = jnp.where(dead, NEG, new_p_b)
+        new_p_nb = jnp.where(dead, NEG, new_p_nb)
+
+        if lm is not None:
+            # LM word state is a pure function of the selected prefix:
+            # rebuild it from (parent, char) gathers instead of carrying
+            # (B, W, C) candidate fields through the sort
+            pick = lambda a: jnp.take_along_axis(a, parent, axis=1)
+            p_cur1, p_cur2 = pick(cur1), pick(cur2)
+            p_ctx = jnp.take_along_axis(ctx, parent[..., None], axis=1)
+            p_in, p_memo = pick(in_word), pick(memo)
+            p_bonus_new, p_wid = pick(bonus_new), pick(wid)
+            is_stay = char < 0
+            is_space = char == space
+            cu = (jnp.maximum(char, 0) + 1).astype(jnp.uint32)
+            new_cur1 = jnp.where(is_stay, p_cur1,
+                                 jnp.where(is_space, CHAR_SEED,
+                                           p_cur1 * CHAR_A1 + cu))
+            new_cur2 = jnp.where(is_stay, p_cur2,
+                                 jnp.where(is_space, CHAR_SEED,
+                                           p_cur2 * CHAR_A2 + cu))
+            new_in = jnp.where(is_stay, p_in, ~is_space)
+            complete = is_space & p_in                  # a word just closed
+            new_ctx = jnp.where(complete[..., None],
+                                jnp.concatenate([p_ctx[..., 1:],
+                                                 p_wid[..., None]], -1),
+                                p_ctx)
+            new_memo = jnp.where(complete, p_bonus_new, p_memo)
+        else:
+            new_cur1, new_cur2 = cur1, cur2
+            new_ctx, new_in, new_memo = ctx, in_word, memo
 
         # frames past each utterance's length leave the state unchanged
         act = (t < sizes)[:, None]
@@ -150,28 +225,56 @@ def _beam_scan(log_probs: jnp.ndarray, sizes: jnp.ndarray, beam_width: int,
         last = jnp.where(act, new_last, last)
         h1 = jnp.where(act, new_h1, h1)
         h2 = jnp.where(act, new_h2, h2)
+        lm_state = (jnp.where(act, new_cur1, cur1),
+                    jnp.where(act, new_cur2, cur2),
+                    jnp.where(act[..., None], new_ctx, ctx),
+                    jnp.where(act, new_in, in_word),
+                    jnp.where(act, new_memo, memo))
         bp = jnp.where(act, parent, slot_iota)
         em = jnp.where(act, char, -1)
-        return (p_b, p_nb, last, h1, h2), (bp.astype(jnp.int32), em)
+        return ((p_b, p_nb, last, h1, h2), lm_state), (bp.astype(jnp.int32), em)
 
-    (p_b, p_nb, *_), (backptr, emit) = jax.lax.scan(
-        step, (p_b0, p_nb0, last0, h1_0, h2_0), (lp, jnp.arange(t_dim)))
-    return backptr, emit, jnp.logaddexp(p_b, p_nb)
+    ((p_b, p_nb, *_), lm_state), (backptr, emit) = jax.lax.scan(
+        step, ((p_b0, p_nb0, last0, h1_0, h2_0), lm0),
+        (lp, jnp.arange(t_dim)))
+    totals = jnp.logaddexp(p_b, p_nb)
+    if lm is not None:
+        # trailing-word finalization (host twin: prefix nonempty and not
+        # ending in space gains one more word bonus)
+        cur1, cur2, ctx, in_word, _ = lm_state
+        score_ln, _ = score_word_ln(lm, cur1, cur2, ctx)
+        totals = totals + jnp.where(in_word, alpha * score_ln + beta, 0.0)
+    return backptr, emit, totals
 
 
 class DeviceBeamDecoder:
-    """On-device batched beam search (merge-free, no LM).
+    """On-device batched beam search, with optional on-device LM fusion.
 
     Same decode() contract as GreedyDecoder/BeamCTCDecoder: returns
     (strings, offsets) with the top beam per utterance (top_paths beams
-    available via n_best)."""
+    available via n_best). With lm_path the word n-gram LM is packed into
+    HBM hash tables once and every decode fuses alpha/beta inside the scan
+    (reset_params does not rebuild the tables)."""
 
     def __init__(self, labels: Sequence[str], beam_width: int = 16,
-                 blank_index: int = 0):
+                 blank_index: int = 0, lm_path: Optional[str] = None,
+                 alpha: float = 0.0, beta: float = 0.0):
         self.label_map = LabelMap(labels, blank_index)
         self.labels = list(labels)
         self.beam_width = beam_width
         self.blank_index = blank_index
+        self.alpha = alpha
+        self.beta = beta
+        self._lm = None
+        if lm_path:
+            from dsjax.decode.lm_device import DeviceNgramLM
+
+            self._lm = DeviceNgramLM(lm_path, labels, blank_index).device()
+
+    def reset_params(self, alpha: float, beta: float) -> None:
+        """LM weight update without rebuilding tables (tuner parity)."""
+        self.alpha = alpha
+        self.beta = beta
 
     def decode(self, probs, sizes: Optional[Sequence[int]] = None,
                n_best: int = 1) -> Tuple[List[List[str]], List[List[np.ndarray]]]:
@@ -180,8 +283,13 @@ class DeviceBeamDecoder:
         sizes_arr = (jnp.full((b,), t, jnp.int32) if sizes is None
                      else jnp.asarray(sizes, jnp.int32))
         lp = jnp.log(jnp.maximum(probs.astype(jnp.float32), 1e-30))
+        lm_kw = {}
+        if self._lm is not None:
+            lm_kw = dict(lm=self._lm, alpha=jnp.float32(self.alpha),
+                         beta=jnp.float32(self.beta),
+                         space=self.label_map.space_index)
         backptr, emit, scores = _beam_scan(lp, sizes_arr, self.beam_width,
-                                           self.blank_index)
+                                           self.blank_index, **lm_kw)
         backptr = np.asarray(backptr)   # (T, B, W)
         emit = np.asarray(emit)
         order = np.argsort(-np.asarray(scores), axis=1)  # (B, W)

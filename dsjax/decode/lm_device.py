@@ -1,0 +1,291 @@
+"""Device-resident word n-gram LM for ON-DEVICE beam search LM fusion.
+
+The reference scores its KenLM through the host ctcdecode C++ extension
+(reference decoder.py:69-74), forcing a device->host posterior copy per
+batch. Here the whole Katz-backoff scorer lives in HBM as open-addressing
+hash tables so the beam search scan (dsjax.decode.beam_device) can fuse
+``alpha * ln P(word | context) + beta`` without leaving the device:
+
+* every n-gram order is one linear-probing hash table packed as a single
+  (S, 4) uint32 array — two independent 32-bit check keys plus bitcast
+  float32 log10-prob and backoff — so a query is ONE row gather of a fixed
+  probe window followed by a branch-free key-match select (collision odds
+  ~2^-64 per pair, the same standard as the beam's exact prefix merging);
+* decoder-side words are identified by two rolling hashes over their LABEL
+  indices (beams never materialize strings); a vocab hash table maps those
+  to dense word ids, and n-gram keys fold the id sequence;
+* scoring follows dsjax.decode.lm.ArpaLM._score exactly: P(w|ctx) from the
+  longest matching order, else backoff(ctx) + P(w|shorter ctx), OOV ->
+  <unk> unigram (or -100 log10). Context words that are OOV or absent get
+  ids that match no table entry, which reproduces the host's miss paths.
+
+n-grams containing <s>, </s> or <unk> are dropped at build time: the
+decoder can never produce those tokens, so the host scorer never finds
+them either (the <unk> unigram survives as the scalar OOV penalty).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Sequence
+
+import numpy as np
+from jax.tree_util import register_pytree_node_class
+
+from dsjax.labels import LabelMap
+
+LOG10_TO_LN = math.log(10.0)
+
+# word-char rolling-hash multipliers (over label indices, seed 1)
+CHAR_A1 = np.uint32(1000003)
+CHAR_A2 = np.uint32(10007)
+CHAR_SEED = np.uint32(1)
+# n-gram key fold multipliers (over word ids)
+FOLD_A1 = np.uint32(2654435761)
+FOLD_A2 = np.uint32(2246822519)
+FOLD_SEED = np.uint32(2166136261)
+# slot-index mixers
+MIX1 = np.uint32(0x9E3779B1)
+MIX2 = np.uint32(0x85EBCA6B)
+EMPTY_KEY = np.uint32(0xFFFFFFFF)
+
+WID_OOV = -1      # word exists but is not in the LM vocab
+WID_ABSENT = -2   # no word at this context position yet
+
+
+def _mix_index(k1, k2, mask):
+    return ((k1 * MIX1) ^ (k2 * MIX2)) & mask
+
+
+def _fold_ids(ids: np.ndarray, mult: np.uint32) -> np.ndarray:
+    """Fold an (..., n) int array of word ids into one uint32 key."""
+    h = np.full(ids.shape[:-1], FOLD_SEED, np.uint32)
+    for j in range(ids.shape[-1]):
+        h = h * mult + (ids[..., j].astype(np.int64) + 2).astype(np.uint32)
+    # keep EMPTY_KEY reserved for vacant slots
+    return np.where(h == EMPTY_KEY, h ^ np.uint32(1), h)
+
+
+@register_pytree_node_class
+class HashTable:
+    """Linear-probing table: data (S, 4) uint32 = [key1, key2,
+    bitcast(f32 val0), bitcast(f32 val1)]; depth = probe window (static)."""
+
+    def __init__(self, data, depth: int):
+        self.data = data
+        self.depth = int(depth)
+
+    @property
+    def mask(self) -> int:
+        return len(self.data) - 1
+
+    def tree_flatten(self):
+        return (self.data,), self.depth
+
+    @classmethod
+    def tree_unflatten(cls, depth, children):
+        return cls(children[0], depth)
+
+
+def _build_table(k1: np.ndarray, k2: np.ndarray, v0: np.ndarray,
+                 v1: np.ndarray) -> HashTable:
+    """Bulk linear-probing insertion (vectorized rounds: each round places
+    every entry that is first in line for a vacant slot, the rest advance)."""
+    n = len(k1)
+    size = 1 << max(3, int(np.ceil(np.log2(max(1, n) * 2))))
+    mask = size - 1
+    data = np.zeros((size, 4), np.uint32)
+    data[:, 0] = EMPTY_KEY
+    v0u = np.asarray(v0, np.float32).view(np.uint32)
+    v1u = np.asarray(v1, np.float32).view(np.uint32)
+    pos = _mix_index(k1, k2, np.uint32(mask)).astype(np.int64)
+    pending = np.arange(n)
+    rounds = 0
+    while pending.size:
+        rounds += 1
+        p = pos[pending]
+        # stable first-occurrence of each slot among pending entries
+        order = np.argsort(p, kind="stable")
+        ps = p[order]
+        first = np.ones(len(ps), bool)
+        first[1:] = ps[1:] != ps[:-1]
+        is_first = np.empty(len(ps), bool)
+        is_first[order] = first
+        place = is_first & (data[p, 0] == EMPTY_KEY)
+        idx = pending[place]
+        data[pos[idx], 0] = k1[idx]
+        data[pos[idx], 1] = k2[idx]
+        data[pos[idx], 2] = v0u[idx]
+        data[pos[idx], 3] = v1u[idx]
+        pending = pending[~place]
+        pos[pending] = (pos[pending] + 1) & mask
+    # an entry placed in round r sits r-1 slots past its home index
+    return HashTable(data, max(1, rounds))
+
+
+@register_pytree_node_class
+class PackedLM:
+    """Pytree of packed LM tables; order/unk_logp/depths are static aux."""
+
+    def __init__(self, order: int, unk_logp: float, vocab: HashTable,
+                 tables):
+        self.order = int(order)
+        self.unk_logp = float(unk_logp)
+        self.vocab = vocab
+        self.tables = tuple(tables)
+
+    def tree_flatten(self):
+        return (self.vocab, self.tables), (self.order, self.unk_logp)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        vocab, tables = children
+        return cls(aux[0], aux[1], vocab, tables)
+
+
+class DeviceNgramLM:
+    """Packed word n-gram LM (host build -> numpy; .device() -> jnp pytree).
+
+    Built from an ARPA path (optionally .gz) or any object with the ArpaLM
+    attributes (``ngrams`` list of dicts, ``order``)."""
+
+    SPECIALS = ("<s>", "</s>", "<unk>")
+
+    def __init__(self, lm, labels: Sequence[str], blank_index: int = 0):
+        from dsjax.decode.lm import ArpaLM
+
+        if isinstance(lm, str):
+            lm = ArpaLM(lm)
+        self.order = lm.order
+        label_map = LabelMap(labels, blank_index)
+        unk = lm.ngrams[0].get(("<unk>",)) if lm.order >= 1 else None
+        self.unk_logp = float(unk[0]) if unk is not None else -100.0
+
+        # --- vocab: word -> dense id; hash keys from label-index sequences
+        word_id = {}
+        vk1, vk2, vid = [], [], []
+        for (w,) in lm.ngrams[0]:
+            if w in self.SPECIALS:
+                continue
+            ids = [label_map.char_to_int.get(ch) for ch in w]
+            if any(i is None for i in ids):
+                continue  # not formable by the decoder -> never looked up
+            h1, h2 = int(CHAR_SEED), int(CHAR_SEED)
+            for ci in ids:
+                h1 = (h1 * int(CHAR_A1) + ci + 1) & 0xFFFFFFFF
+                h2 = (h2 * int(CHAR_A2) + ci + 1) & 0xFFFFFFFF
+            if h1 == int(EMPTY_KEY):
+                h1 ^= 1
+            word_id[w] = len(word_id)
+            vk1.append(h1)
+            vk2.append(h2)
+            vid.append(word_id[w])
+        self.n_vocab = len(word_id)
+        self.vocab = _build_table(np.asarray(vk1, np.uint32),
+                                  np.asarray(vk2, np.uint32),
+                                  np.asarray(vid, np.float32),
+                                  np.zeros(len(vid), np.float32))
+
+        # --- n-gram tables (ids folded oldest -> newest)
+        self.tables: List[HashTable] = []
+        for n in range(1, self.order + 1):
+            keys, logps, boffs = [], [], []
+            for ngram, (logp, boff) in lm.ngrams[n - 1].items():
+                if any(w in self.SPECIALS or w not in word_id for w in ngram):
+                    continue
+                keys.append([word_id[w] for w in ngram])
+                logps.append(logp)
+                boffs.append(boff)
+            ids = (np.asarray(keys, np.int64).reshape(len(keys), n)
+                   if keys else np.zeros((0, n), np.int64))
+            self.tables.append(_build_table(
+                _fold_ids(ids, FOLD_A1), _fold_ids(ids, FOLD_A2),
+                np.asarray(logps, np.float32), np.asarray(boffs, np.float32)))
+
+    def device(self) -> PackedLM:
+        import jax.numpy as jnp
+
+        put = lambda t: HashTable(jnp.asarray(t.data), t.depth)
+        return PackedLM(self.order, self.unk_logp, put(self.vocab),
+                        [put(t) for t in self.tables])
+
+
+# ----------------------------------------------------------------------
+# jittable queries (operate on a PackedLM of jnp arrays)
+# ----------------------------------------------------------------------
+
+
+def _probe(table: HashTable, k1, k2):
+    """(found, val0, val1) for key (k1, k2); any leading batch shape."""
+    import jax.numpy as jnp
+
+    mask = jnp.uint32(table.mask)
+    idx = ((k1 * MIX1) ^ (k2 * MIX2)) & mask
+    offs = jnp.arange(table.depth, dtype=jnp.uint32)
+    slots = ((idx[..., None] + offs) & mask).astype(jnp.int32)
+    rows = table.data[slots]                            # (..., D, 4)
+    hit = (rows[..., 0] == k1[..., None]) & (rows[..., 1] == k2[..., None])
+    found = hit.any(-1)
+    j = jnp.argmax(hit, -1)[..., None, None]
+    vals = jnp.take_along_axis(rows, j, -2)[..., 0, :]  # (..., 4)
+    v0 = jax_bitcast_f32(vals[..., 2])
+    v1 = jax_bitcast_f32(vals[..., 3])
+    return found, v0, v1
+
+
+def jax_bitcast_f32(x):
+    import jax
+
+    return jax.lax.bitcast_convert_type(x, np.float32)
+
+
+def _fold_ids_jnp(ids_list):
+    """Fold a list of (...,)-shaped int32 word-id arrays into uint32 keys."""
+    import jax.numpy as jnp
+
+    h1 = jnp.full(ids_list[0].shape, FOLD_SEED, jnp.uint32)
+    h2 = h1
+    valid = jnp.ones(ids_list[0].shape, bool)
+    for ids in ids_list:
+        u = (ids + 2).astype(jnp.uint32)
+        h1 = h1 * FOLD_A1 + u
+        h2 = h2 * FOLD_A2 + u
+        valid &= ids >= 0
+    h1 = jnp.where(h1 == EMPTY_KEY, h1 ^ jnp.uint32(1), h1)
+    return h1, h2, valid
+
+
+def vocab_lookup(lm: PackedLM, cur1, cur2):
+    """Rolling char-hash pair -> dense word id (WID_OOV when not in vocab)."""
+    import jax.numpy as jnp
+
+    # build-time keys reserve EMPTY_KEY for vacant slots; mirror the remap
+    cur1 = jnp.where(cur1 == EMPTY_KEY, cur1 ^ jnp.uint32(1), cur1)
+    found, vid, _ = _probe(lm.vocab, cur1, cur2)
+    return jnp.where(found, vid.astype(jnp.int32), WID_OOV)
+
+
+def _ngram(lm: PackedLM, ids_list):
+    k1, k2, valid = _fold_ids_jnp(ids_list)
+    found, logp, boff = _probe(lm.tables[len(ids_list) - 1], k1, k2)
+    return found & valid, logp, boff
+
+
+def score_word_ln(lm: PackedLM, cur1, cur2, ctx):
+    """ln P(word | context) plus the word's id.
+
+    cur1/cur2: rolling char hashes of the word (any batch shape);
+    ctx: (..., order-1) int32 context word ids, oldest -> newest
+    (WID_ABSENT where history is shorter). Mirrors ArpaLM._score."""
+    import jax.numpy as jnp
+
+    wid = vocab_lookup(lm, cur1, cur2)
+    f1, p1, _ = _ngram(lm, [wid])
+    s = jnp.where(f1, p1, lm.unk_logp)
+    for n in range(2, lm.order + 1):
+        ctx_n = [ctx[..., -(j + 1)] for j in range(n - 2, -1, -1)]
+        cf, _, cb = _ngram(lm, ctx_n)                   # backoff(context)
+        bo = jnp.where(cf, cb, 0.0)
+        f, p, _ = _ngram(lm, ctx_n + [wid])
+        s = jnp.where(f, p, bo + s)
+    return s * LOG10_TO_LN, wid

@@ -96,12 +96,25 @@ def load_decoder(labels: List[str], cfg: LMConfig):
 
     LM-free beam decode runs ON DEVICE (DeviceBeamDecoder: one batched jit
     scan instead of a host loop per utterance); with an LM the host
-    C++/Python beam with shallow fusion is used."""
+    C++/Python beam with shallow fusion is used, unless ``lm.device_beam``
+    moves the LM itself onto the device (HBM hash tables fused into the
+    beam scan — requires an ARPA-format lm_path)."""
     if cfg.decoder_type == DecoderType.beam:
         if not cfg.lm_path:
             from dsjax.decode.beam_device import DeviceBeamDecoder
 
             return DeviceBeamDecoder(labels, beam_width=cfg.beam_width)
+        if getattr(cfg, "device_beam", False):
+            from dsjax.decode.lm import BINARY_MAGIC
+
+            with open(cfg.lm_path, "rb") as f:
+                is_binary = f.read(8) == BINARY_MAGIC
+            if not is_binary:  # binary LMs stay on the host C++ path
+                from dsjax.decode.beam_device import DeviceBeamDecoder
+
+                return DeviceBeamDecoder(labels, beam_width=cfg.beam_width,
+                                         lm_path=cfg.lm_path,
+                                         alpha=cfg.alpha, beta=cfg.beta)
         return BeamCTCDecoder(labels, lm_path=cfg.lm_path,
                               alpha=cfg.alpha, beta=cfg.beta,
                               cutoff_top_n=cfg.cutoff_top_n,

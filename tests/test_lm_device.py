@@ -1,0 +1,199 @@
+"""Device-resident n-gram LM + on-device beam LM fusion tests.
+
+The packed hash-table scorer (dsjax.decode.lm_device) must reproduce
+ArpaLM's Katz-backoff scoring exactly, and the LM-fused device beam scan
+must match the host BeamCTCDecoder's scoring (word bonus at space
+emissions incl. consecutive-space re-scoring, trailing-word finalization)
+at exhaustive beam widths."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from dsjax.decode.beam import BeamCTCDecoder
+from dsjax.decode.beam_device import DeviceBeamDecoder, _beam_scan
+from dsjax.decode.lm import ArpaLM
+from dsjax.decode.lm_device import (CHAR_A1, CHAR_A2, CHAR_SEED, WID_ABSENT,
+                                    DeviceNgramLM, score_word_ln,
+                                    vocab_lookup)
+from dsjax.labels import LabelMap
+
+LABELS = ["_", "'", "A", "B", "C", " "]
+C = len(LABELS)
+
+ARPA3 = """\\data\\
+ngram 1=8
+ngram 2=4
+ngram 3=2
+
+\\1-grams:
+-1.0\t<s>\t-0.5
+-1.2\t</s>
+-0.8\tCAB\t-0.3
+-1.5\tBAC\t-0.3
+-0.9\tAB\t-0.2
+-1.1\tA\t-0.4
+-1.3\tB\t-0.25
+-2.0\t<unk>
+
+\\2-grams:
+-0.2\tCAB AB\t-0.15
+-0.4\tAB A\t-0.1
+-0.7\tA B\t-0.3
+-1.8\tB CAB
+
+\\3-grams:
+-0.1\tCAB AB A
+-0.3\tA B CAB
+
+\\end\\
+"""
+
+
+@pytest.fixture(scope="module")
+def arpa_path(tmp_path_factory):
+    p = tmp_path_factory.mktemp("lm") / "t3.arpa"
+    p.write_text(ARPA3)
+    return str(p)
+
+
+def _char_hash(word, lmap):
+    h1, h2 = int(CHAR_SEED), int(CHAR_SEED)
+    for ch in word:
+        ci = lmap.char_to_int[ch]
+        h1 = (h1 * int(CHAR_A1) + ci + 1) & 0xFFFFFFFF
+        h2 = (h2 * int(CHAR_A2) + ci + 1) & 0xFFFFFFFF
+    return jnp.uint32(h1), jnp.uint32(h2)
+
+
+def test_packed_scorer_matches_arpa(arpa_path):
+    """score_word_ln == ArpaLM.score_word_ln over hits, every backoff
+    level, OOV targets and OOV/short contexts."""
+    host = ArpaLM(arpa_path)
+    dev = DeviceNgramLM(arpa_path, LABELS)
+    packed = dev.device()
+    lmap = LabelMap(LABELS, 0)
+
+    def wid(word):
+        return int(vocab_lookup(packed, *_char_hash(word, lmap)))
+
+    words = ["CAB", "BAC", "AB", "A", "B", "CCCC", "BB"]  # last two OOV
+    ctxs = [[], ["A"], ["CAB"], ["CAB", "AB"], ["A", "B"], ["CCCC", "A"],
+            ["A", "CCCC"], ["B", "CAB"], ["BAC", "BAC"]]
+    for w in words:
+        for ctx in ctxs:
+            want = host.score_word_ln(w, ctx)
+            ids = [wid(c) for c in ctx]
+            ids = ([WID_ABSENT] * (dev.order - 1) + ids)[-(dev.order - 1):]
+            got, _ = score_word_ln(packed, *_char_hash(w, lmap),
+                                   jnp.asarray(ids, jnp.int32))
+            assert abs(want - float(got)) < 1e-5, (w, ctx, want, float(got))
+
+
+def test_vocab_lookup_oov(arpa_path):
+    packed = DeviceNgramLM(arpa_path, LABELS).device()
+    lmap = LabelMap(LABELS, 0)
+    assert int(vocab_lookup(packed, *_char_hash("CAB", lmap))) >= 0
+    assert int(vocab_lookup(packed, *_char_hash("CCCC", lmap))) == -1
+
+
+def _random_spaceful_probs(rng, b, t):
+    bias = np.array([0.5, 0.0, 1.2, 1.0, 0.4, 1.4])  # words + spaces likely
+    logits = rng.standard_normal((b, t, C)).astype(np.float32) * 1.5 + bias
+    return (np.exp(logits) / np.exp(logits).sum(-1, keepdims=True)).astype(
+        np.float32)
+
+
+def test_device_lm_beam_matches_host_exhaustive(arpa_path):
+    """Top-1 strings AND scores match the host twin at exhaustive widths,
+    across alpha/beta settings (incl. alpha=0 which must equal no-LM up to
+    the beta-at-boundary bonus)."""
+    rng = np.random.default_rng(3)
+    t = 6  # <= 3906 reachable prefixes -> W=4096 exhaustive
+    probs = _random_spaceful_probs(rng, 4, t)
+    sizes = [t, t - 1, t - 2, t]
+    for alpha, beta in [(0.9, 0.35), (1.7, -0.3), (0.0, 0.0)]:
+        host = BeamCTCDecoder(LABELS, lm_path=arpa_path, alpha=alpha,
+                              beta=beta, beam_width=200000, cutoff_top_n=C,
+                              num_processes=1)
+        host._cpp = None  # the Python semantic reference
+        dev = DeviceBeamDecoder(LABELS, beam_width=4096, lm_path=arpa_path,
+                                alpha=alpha, beta=beta)
+        ds, _ = dev.decode(probs, sizes)
+        lp = jnp.log(jnp.maximum(jnp.asarray(probs), 1e-30))
+        _, _, scores = _beam_scan(lp, jnp.asarray(sizes, jnp.int32), 4096, 0,
+                                  lm=dev._lm, alpha=jnp.float32(alpha),
+                                  beta=jnp.float32(beta), space=5)
+        scores = np.asarray(scores)
+        for i in range(len(sizes)):
+            res = host._decode_one(probs[i, :sizes[i]])
+            h_str = "".join(LABELS[j] for j in res[0][0])
+            assert h_str == ds[i][0], (alpha, beta, i, h_str, ds[i][0])
+            assert abs(res[0][2] - scores[i].max()) < 1e-3
+
+
+def test_merged_scores_match_host_exhaustive():
+    """No-LM path: the merged beam's per-prefix SCORES equal the host's
+    exact prefix masses (regression: top-k filler slots used to survive
+    with partial run masses and fragment/duplicate prefixes)."""
+    rng = np.random.default_rng(11)
+    t = 6
+    probs = _random_spaceful_probs(rng, 2, t)
+    host = BeamCTCDecoder(LABELS, beam_width=200000, cutoff_top_n=C,
+                          num_processes=1)
+    host._cpp = None
+    dev = DeviceBeamDecoder(LABELS, beam_width=4096)
+    ds, _ = dev.decode(probs, [t, t], n_best=5)
+    lp = jnp.log(jnp.maximum(jnp.asarray(probs), 1e-30))
+    _, _, scores = _beam_scan(lp, jnp.full((2,), t, jnp.int32), 4096, 0)
+    scores = np.asarray(scores)
+    for i in range(2):
+        res = host._decode_one(probs[i])
+        top = np.sort(scores[i])[::-1][:5]
+        for k in range(5):
+            h_str = "".join(LABELS[j] for j in res[k][0])
+            assert h_str == ds[i][k], (i, k, h_str, ds[i][k])
+            assert abs(res[k][2] - top[k]) < 1e-3
+        # no duplicated prefixes among the n-best
+        assert len(set(ds[i])) == 5
+
+
+def test_lm_flips_hypothesis(arpa_path):
+    """A strong LM preferring 'CAB' flips acoustics that slightly favor
+    'BAC' — through the DEVICE beam."""
+    t = 7
+    probs = np.full((t, C), 0.02, np.float32)
+    seq_b = [3, 2, 4, 5, 0, 0, 0]   # "BAC "
+    seq_c = [4, 2, 3, 5, 0, 0, 0]   # "CAB "
+    for i in range(t):
+        probs[i, seq_b[i]] = 0.42
+        probs[i, seq_c[i]] += 0.38
+    probs /= probs.sum(-1, keepdims=True)
+    no_lm = DeviceBeamDecoder(LABELS, beam_width=32)
+    s0, _ = no_lm.decode(probs[None])
+    assert s0[0][0].strip() == "BAC"
+    with_lm = DeviceBeamDecoder(LABELS, beam_width=32, lm_path=arpa_path,
+                                alpha=3.0, beta=0.0)
+    s1, _ = with_lm.decode(probs[None])
+    assert s1[0][0].strip() == "CAB"
+    # reset_params turns the LM back off without rebuilding tables
+    with_lm.reset_params(0.0, 0.0)
+    s2, _ = with_lm.decode(probs[None])
+    assert s2[0][0].strip() == "BAC"
+
+
+def test_load_decoder_device_beam_dispatch(arpa_path):
+    from dsjax.config import DecoderType, LMConfig
+    from dsjax.inference import load_decoder
+
+    cfg = LMConfig(decoder_type=DecoderType.beam, lm_path=arpa_path,
+                   device_beam=True, alpha=1.0, beta=0.5, beam_width=8)
+    dec = load_decoder(LABELS, cfg)
+    assert isinstance(dec, DeviceBeamDecoder)
+    assert dec._lm is not None and dec.alpha == 1.0
+    # without the flag the host C++/Python beam keeps ctcdecode parity
+    cfg2 = LMConfig(decoder_type=DecoderType.beam, lm_path=arpa_path,
+                    beam_width=8)
+    assert isinstance(load_decoder(LABELS, cfg2), BeamCTCDecoder)
