@@ -97,20 +97,29 @@ def main():
             print(f"c++ beam+LM  width {width:3d} ({name:6s}): "
                   f"{B / dt:7.1f} utt/s ({dt / B * 1000:.1f} ms/utt)")
 
-    # on-device LM-free beam
+    # on-device beam: LM-free and with on-device LM fusion
     from dsjax.decode.beam_device import DeviceBeamDecoder
 
+    t0 = time.perf_counter()
+    lm_dev = DeviceBeamDecoder(DEFAULT_LABELS, beam_width=10, lm_path=arpa,
+                               alpha=0.4, beta=0.85)
+    t_pack = time.perf_counter() - t0
+    print(f"device LM pack+upload: {t_pack:.2f}s")
     for width in (10, 128):
-        dd = DeviceBeamDecoder(DEFAULT_LABELS, beam_width=width)
-        dd.decode(probs[:2, :64])  # warm compile
-        t0 = time.perf_counter()
-        dd.decode(probs)
-        dt = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        dd.decode(probs)
-        dt = min(dt, time.perf_counter() - t0)
-        print(f"device beam  width {width:3d} (no LM) : "
-              f"{B / dt:7.1f} utt/s ({dt / B * 1000:.1f} ms/utt)")
+        for name, dd in (("no LM", DeviceBeamDecoder(DEFAULT_LABELS,
+                                                     beam_width=width)),
+                         ("dev LM", DeviceBeamDecoder(
+                             DEFAULT_LABELS, beam_width=width, lm_path=arpa,
+                             alpha=0.4, beta=0.85))):
+            dd.decode(probs[:2, :64])  # warm compile
+            t0 = time.perf_counter()
+            dd.decode(probs)
+            dt = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            dd.decode(probs)
+            dt = min(dt, time.perf_counter() - t0)
+            print(f"device beam  width {width:3d} ({name:6s}): "
+                  f"{B / dt:7.1f} utt/s ({dt / B * 1000:.1f} ms/utt)")
 
 
 if __name__ == "__main__":
