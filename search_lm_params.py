@@ -48,6 +48,8 @@ class OptimizerConfig:
     num_workers: int = 1
     grid: bool = False                # exhaustive grid instead of TPE-lite
     grid_steps: int = 10
+    device_beam: bool = False         # decode trials ON DEVICE (ARPA LM
+                                      # packed into HBM tables, lm_device)
     output_path: str = ""             # write [(alpha, beta, wer, cer), ...]
     seed: int = 0
 
@@ -64,10 +66,23 @@ class Objective:
         self.cfg = cfg
         bundle = load_model(cfg.model_path, cfg.precision)
         self.labels = bundle.labels
-        make_decoder = lambda: BeamCTCDecoder(
-            self.labels, lm_path=cfg.lm_path or None,
-            beam_width=cfg.beam_width, num_processes=cfg.num_workers,
-            blank_index=self.labels.index("_"))
+        blank = self.labels.index("_")
+        if cfg.device_beam and cfg.lm_path:
+            from dsjax.decode.beam_device import DeviceBeamDecoder
+            from dsjax.decode.lm_device import DeviceNgramLM
+
+            packed = DeviceNgramLM(cfg.lm_path, self.labels, blank).device()
+
+            def make_decoder():
+                d = DeviceBeamDecoder(self.labels, beam_width=cfg.beam_width,
+                                      blank_index=blank)
+                d._lm = packed  # share one HBM table set across workers
+                return d
+        else:
+            make_decoder = lambda: BeamCTCDecoder(
+                self.labels, lm_path=cfg.lm_path or None,
+                beam_width=cfg.beam_width, num_processes=cfg.num_workers,
+                blank_index=blank)
         self.decoder = make_decoder()
         self._pool_decoders = [self.decoder] + [
             make_decoder() for _ in range(max(1, cfg.n_jobs) - 1)]

@@ -197,3 +197,44 @@ def test_load_decoder_device_beam_dispatch(arpa_path):
     cfg2 = LMConfig(decoder_type=DecoderType.beam, lm_path=arpa_path,
                     beam_width=8)
     assert isinstance(load_decoder(LABELS, cfg2), BeamCTCDecoder)
+
+
+def test_lm_search_device_beam_objective(arpa_path, monkeypatch, tmp_path):
+    """Objective(device_beam=True) decodes trials through the device beam
+    with one shared HBM table set across the worker pool."""
+    import search_lm_params as slp
+
+    class FakeBundle:
+        labels = LABELS
+        spect_cfg = None
+
+        def forward(self, inputs, lengths, carry=None):
+            rng = np.random.default_rng(0)
+            b, t = inputs.shape[0], 6
+            return (_random_spaceful_probs(rng, b, t),
+                    np.full((b,), t, np.int32), None)
+
+    class FakeDataset:
+        def __init__(self, *a, **k):
+            pass
+
+        def __len__(self):
+            return 2
+
+        def __getitem__(self, i):
+            return np.zeros((161, 8), np.float32), [2, 3]  # "AB"
+
+    monkeypatch.setattr(slp, "load_model", lambda *a, **k: FakeBundle())
+    monkeypatch.setattr(slp, "SpectrogramDataset", FakeDataset)
+    cfg = slp.OptimizerConfig(model_path="x", test_path="y",
+                              lm_path=arpa_path, device_beam=True,
+                              beam_width=8, n_jobs=2, batch_size=2)
+    obj = slp.Objective(cfg)
+    assert isinstance(obj.decoder, DeviceBeamDecoder)
+    # workers share one packed LM (no duplicate HBM uploads)
+    assert all(d._lm is obj.decoder._lm for d in obj._pool_decoders)
+    w0, c0 = obj(0.0, 0.0)
+    w1, c1 = obj(2.5, 0.9)
+    assert np.isfinite([w0, c0, w1, c1]).all()
+    many = obj.evaluate_many([(0.0, 0.0), (2.5, 0.9)])
+    assert many[0] == (w0, c0) and many[1] == (w1, c1)
