@@ -14,10 +14,10 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <deque>
 #include <limits>
 #include <memory>
 #include <string>
-#include <unordered_map>
 #include <vector>
 
 #include "lm.h"
@@ -34,32 +34,49 @@ inline double logaddexp(double a, double b) {
   return m + std::log(std::exp(a - m) + std::exp(b - m));
 }
 
-struct TrieNode {
-  TrieNode* parent = nullptr;
-  int label = -1;       // label id of the edge from parent
-  int timestep = -1;    // frame at which this char was emitted
-  int depth = 0;
-  // children keyed by (label); small maps, use unordered_map
-  std::unordered_map<int, std::unique_ptr<TrieNode>> children;
-
-  TrieNode* child(int l, int t) {
-    auto it = children.find(l);
-    if (it != children.end()) return it->second.get();
-    auto node = std::make_unique<TrieNode>();
-    node->parent = this;
-    node->label = l;
-    node->timestep = t;
-    node->depth = depth + 1;
-    TrieNode* raw = node.get();
-    children.emplace(l, std::move(node));
-    return raw;
-  }
-};
-
 struct BeamScore {
   double p_b = kNegInf;
   double p_nb = kNegInf;
   double total() const { return logaddexp(p_b, p_nb); }
+};
+
+// Prefix trie node, tuned for the beam hot loop: intrusive child list
+// (child counts are <= n_keep, a linear scan beats hashing), arena
+// allocation (std::deque, no per-node malloc/free), and in-node epoch
+// stamping so per-step candidate merging needs NO hash map at all.
+// Nodes live for one ds_beam_decode call.
+struct TrieNode {
+  TrieNode* parent = nullptr;
+  TrieNode* first_child = nullptr;
+  TrieNode* next_sibling = nullptr;
+  int label = -1;       // label id of the edge from parent
+  int timestep = -1;    // frame at which this char was emitted
+  int depth = 0;
+  int epoch = -1;       // last step that touched this node
+  BeamScore pending;    // per-step merged candidate mass
+  double lm_memo = 0.0; // word-boundary LM bonus (prefix-invariant)
+  bool lm_cached = false;
+
+  TrieNode* find_child(int l) const {
+    for (TrieNode* c = first_child; c; c = c->next_sibling)
+      if (c->label == l) return c;
+    return nullptr;
+  }
+};
+
+struct Arena {
+  std::deque<TrieNode> pool;
+  TrieNode* make(TrieNode* parent, int label, int t) {
+    pool.emplace_back();
+    TrieNode* n = &pool.back();
+    n->parent = parent;
+    n->label = label;
+    n->timestep = t;
+    n->depth = parent->depth + 1;
+    n->next_sibling = parent->first_child;
+    parent->first_child = n;
+    return n;
+  }
 };
 
 struct Decoder {
@@ -100,11 +117,6 @@ struct Decoder {
     std::vector<std::string> context(words.rbegin(), words.rend() - 1);
     return alpha * lm->score_word_ln(context, words[0]) + beta;
   }
-};
-
-struct Candidate {
-  TrieNode* node;
-  BeamScore score;
 };
 
 }  // namespace
@@ -156,25 +168,42 @@ int ds_beam_decode(void* decoder, const float* probs, int t_dim, int c_dim,
   using namespace dsjax;
   auto* d = static_cast<Decoder*>(decoder);
 
+  Arena arena;
   TrieNode root;
-  std::unordered_map<TrieNode*, BeamScore> beams;
-  beams[&root] = BeamScore{0.0, kNegInf};
+  std::vector<std::pair<TrieNode*, BeamScore>> beams;
+  beams.emplace_back(&root, BeamScore{0.0, kNegInf});
 
+  // Per-step merging uses in-node epoch stamping instead of a hash map,
+  // and extensions to NOT-yet-existing prefixes are kept as lightweight
+  // "fresh" records — only the <= beam_width winners materialize trie
+  // nodes (the naive formulation allocates beams x n_keep nodes per step,
+  // which is what made large widths slow).
+  struct Fresh {         // extension of `parent` with `label` (no node yet)
+    TrieNode* parent;
+    int label;
+    double p_nb;
+  };
+  std::vector<TrieNode*> touched;
+  std::vector<Fresh> fresh;
+  struct Ranked {
+    TrieNode* node;      // nullptr -> fresh[idx]
+    int idx;
+    double total;
+  };
+  std::vector<Ranked> ranked;
   std::vector<int> order(c_dim);
   std::vector<double> log_row(c_dim);
-  std::vector<std::pair<TrieNode*, BeamScore>> ranked;
-  std::unordered_map<TrieNode*, BeamScore> next;
-  // the word-boundary LM bonus depends only on the prefix node; without
-  // this cache it is recomputed (trie walk + string assembly + LM query)
-  // for every (timestep x beam) extension of the same prefix
-  std::unordered_map<const TrieNode*, double> lm_cache;
+
+  // the word-boundary LM bonus depends only on the prefix node; memoize
+  // in-node (recomputing would walk the trie + query the LM for every
+  // (timestep x beam) extension of the same prefix)
   auto lm_bonus = [&](TrieNode* prefix) -> double {
     if (!d->lm) return 0.0;
-    auto it = lm_cache.find(prefix);
-    if (it != lm_cache.end()) return it->second;
-    double v = d->lm_score(prefix, alpha, beta);
-    lm_cache.emplace(prefix, v);
-    return v;
+    if (!prefix->lm_cached) {
+      prefix->lm_memo = d->lm_score(prefix, alpha, beta);
+      prefix->lm_cached = true;
+    }
+    return prefix->lm_memo;
   };
 
   for (int t = 0; t < t_dim; ++t) {
@@ -198,50 +227,75 @@ int ds_beam_decode(void* decoder, const float* probs, int t_dim, int c_dim,
     for (int ci = 0; ci < n_keep; ++ci)
       log_row[order[ci]] = std::log(std::max((double)row[order[ci]], 1e-30));
 
-    next.clear();
+    touched.clear();
+    fresh.clear();
+    auto stamp = [&](TrieNode* n) -> BeamScore& {
+      if (n->epoch != t) {
+        n->epoch = t;
+        n->pending = BeamScore{};
+        touched.push_back(n);
+      }
+      return n->pending;
+    };
+
     for (auto& kv : beams) {
       TrieNode* prefix = kv.first;
       const BeamScore& bs = kv.second;
       double p_total = bs.total();
+      int last = prefix->label;  // -1 at root
       for (int ci = 0; ci < n_keep; ++ci) {
         int c = order[ci];
         double p_c = log_row[c];
         if (c == d->blank) {
-          BeamScore& nb = next[prefix];
+          BeamScore& nb = stamp(prefix);
           nb.p_b = logaddexp(nb.p_b, p_total + p_c);
           continue;
         }
-        int last = prefix->label;  // -1 at root
+        double sc;
         if (c == last) {
           // repeat collapses into the same prefix...
-          BeamScore& nb = next[prefix];
+          BeamScore& nb = stamp(prefix);
           nb.p_nb = logaddexp(nb.p_nb, bs.p_nb + p_c);
           // ...or extends after a blank
-          double sc = bs.p_b + p_c;
-          if (sc != kNegInf) {
-            if (c == d->space) sc += lm_bonus(prefix);
-            TrieNode* ext = prefix->child(c, t);
-            BeamScore& nb2 = next[ext];
-            nb2.p_nb = logaddexp(nb2.p_nb, sc);
-          }
+          sc = bs.p_b + p_c;
+          if (sc == kNegInf) continue;
         } else {
-          double sc = p_total + p_c;
-          if (c == d->space) sc += lm_bonus(prefix);
-          TrieNode* ext = prefix->child(c, t);
-          BeamScore& nb2 = next[ext];
+          sc = p_total + p_c;
+        }
+        if (c == d->space) sc += lm_bonus(prefix);
+        if (TrieNode* ext = prefix->find_child(c)) {
+          BeamScore& nb2 = stamp(ext);
           nb2.p_nb = logaddexp(nb2.p_nb, sc);
+        } else {
+          // distinct (prefix, c) pairs are distinct prefixes, so fresh
+          // records never merge with each other — only existing nodes can
+          // receive mass from more than one source
+          fresh.push_back(Fresh{prefix, c, sc});
         }
       }
     }
-    // prune to beam width
-    ranked.assign(next.begin(), next.end());
+
+    // prune to beam width over (touched existing nodes + fresh records)
+    ranked.clear();
+    for (TrieNode* n : touched)
+      ranked.push_back(Ranked{n, -1, n->pending.total()});
+    for (int i = 0; i < (int)fresh.size(); ++i)
+      ranked.push_back(Ranked{nullptr, i, fresh[i].p_nb});
     int keep = std::min<int>(beam_width, (int)ranked.size());
     std::partial_sort(ranked.begin(), ranked.begin() + keep, ranked.end(),
-                      [](const auto& a, const auto& b) {
-                        return a.second.total() > b.second.total();
+                      [](const Ranked& a, const Ranked& b) {
+                        return a.total > b.total;
                       });
     beams.clear();
-    for (int i = 0; i < keep; ++i) beams[ranked[i].first] = ranked[i].second;
+    for (int i = 0; i < keep; ++i) {
+      if (ranked[i].node) {
+        beams.emplace_back(ranked[i].node, ranked[i].node->pending);
+      } else {
+        const Fresh& f = fresh[ranked[i].idx];
+        TrieNode* n = arena.make(f.parent, f.label, t);
+        beams.emplace_back(n, BeamScore{kNegInf, f.p_nb});
+      }
+    }
   }
 
   // finalize: trailing-word LM score

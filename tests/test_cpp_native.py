@@ -111,3 +111,33 @@ def test_beam_decode_binary_lm_matches_text(tmp_path):
         s_text, _ = d_text.decode(probs)
         s_bin, _ = d_bin.decode(probs)
         assert s_text[0][0] == s_bin[0][0]
+
+
+@pytest.mark.parametrize("with_lm", [False, True])
+def test_cpp_beam_matches_python_wide(tmp_path, with_lm):
+    """Width-64 / T=50 stress parity (exercises the epoch-stamped merge +
+    lazy node materialization: fresh-vs-existing targets, pruned prefixes
+    re-extended later, beams dominated by pruning)."""
+    lm_path = None
+    if with_lm:
+        p = tmp_path / "t.arpa"
+        p.write_text(ARPA)
+        lm_path = str(p)
+    rng = np.random.default_rng(4)
+    dec = BeamCTCDecoder(LABELS, lm_path=lm_path, alpha=0.7 if with_lm else 0.0,
+                         beta=0.3 if with_lm else 0.0, beam_width=64,
+                         cutoff_top_n=len(LABELS))
+    assert dec._cpp is not None
+    for trial in range(2):
+        probs = _rand_probs(rng, 50, len(LABELS))
+        cpp_hyps = dec._cpp.decode(probs, dec.alpha, dec.beta, dec.beam_width,
+                                   dec.cutoff_top_n, dec.cutoff_prob)
+        py_hyps = dec._decode_one(probs)
+        assert cpp_hyps[0][0] == py_hyps[0][0], f"trial {trial}"
+        np.testing.assert_allclose(cpp_hyps[0][2], py_hyps[0][2], rtol=1e-5)
+        assert {h[0] for h in cpp_hyps[:8]} == {h[0] for h in py_hyps[:8]}
+        # offsets: strictly increasing valid frame indices, one per char
+        offs = cpp_hyps[0][1]
+        assert len(offs) == len(cpp_hyps[0][0])
+        assert all(0 <= o < 50 for o in offs)
+        assert all(b > a for a, b in zip(offs, offs[1:]))
