@@ -227,6 +227,9 @@ class EvalConfig(InferenceConfig):
     save_output: str = ""
     batch_size: int = 20
     num_workers: int = 4
+    # compute the STFT inside the jitted eval step (raw audio upload)
+    # instead of on host loader threads
+    device_features: bool = False
 
 
 @dataclass

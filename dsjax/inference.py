@@ -43,10 +43,22 @@ class ModelBundle:
             lambda v, x, lens, carry: self.model.apply(v, x, lens, carry,
                                                        train=False))
 
+        def _audio_apply(v, y, lens):
+            from dsjax.audio.features import spectrogram_jax
+
+            feats = spectrogram_jax(y, lens, self.spect_cfg, normalize=True)
+            return self.model.apply(v, feats, lens, train=False)
+
+        self._apply_audio = jax.jit(_audio_apply)
+
     def forward(self, spect: np.ndarray, lengths: np.ndarray, carry=None):
-        """(B, F, T) -> (probs (B, T', C), out_lens, carry)."""
+        """(B, F, T) features — or (B, L_pad) raw audio prepared by
+        pad_audio_for_device, with the STFT fused into the jitted step —
+        -> (probs (B, T', C), out_lens, carry)."""
         x = jnp.asarray(spect)
         lens = jnp.asarray(lengths, jnp.int32)
+        if x.ndim == 2:
+            return self._apply_audio(self.variables, x, lens)
         if carry is None:
             return self._apply(self.variables, x, lens)
         return self._apply_carry(self.variables, x, lens, carry)

@@ -118,7 +118,8 @@ def evaluate(cfg: EvalConfig) -> Tuple[float, float]:
     decoder = load_decoder(bundle.labels, cfg.lm)
     target_decoder = load_decoder(bundle.labels, type(cfg.lm)())  # greedy
     ds = SpectrogramDataset(bundle.spect_cfg, cfg.test_path, bundle.labels,
-                            normalize=True)
+                            normalize=True,
+                            device_features=cfg.device_features)
     sampler = OrderedBatchSampler(len(ds), cfg.batch_size)
     pipe = DataPipeline(ds, sampler, bucket_frames=64, bucket_labels=64,
                         num_workers=cfg.num_workers, prefetch=2,
@@ -144,7 +145,8 @@ def evaluate(cfg: EvalConfig) -> Tuple[float, float]:
         return n_real
 
     for batch in pipe:
-        probs, out_lens, _ = bundle.forward(batch.inputs, batch.input_lengths)
+        x = batch.inputs if batch.inputs is not None else batch.audio
+        probs, out_lens, _ = bundle.forward(x, batch.input_lengths)
         if pending is not None:
             n_utts += finish(pending)
         pending = (probs, out_lens, batch)

@@ -89,6 +89,19 @@ def test_train_eval_transcribe_roundtrip(dataset, tmp_path):
     assert 0.0 <= wer  # untrained-ish model: just has to run
     assert 0.0 <= cer
 
+    # device-feature eval (STFT inside the jitted step) must agree with the
+    # host-feature run on the same checkpoint/manifest
+    dev_cfg = compose(EvalConfig, [
+        f"model.model_path={ckpt_dir}",
+        f"test_path={manifest}",
+        "batch_size=3",
+        "verbose=false",
+        "device_features=true",
+    ])
+    wer_d, cer_d = evaluate(dev_cfg)
+    assert abs(wer_d - wer) < 2.0 and abs(cer_d - cer) < 2.0, (
+        (wer, cer, wer_d, cer_d))
+
     # beam decoding path (no LM) through the same workflow
     beam_cfg = compose(EvalConfig, [
         f"model.model_path={ckpt_dir}",
