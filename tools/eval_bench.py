@@ -5,6 +5,7 @@ LibriSpeech-shaped set with the flagship model.
 
 Usage: python tools/eval_bench.py [n_utts] [seconds]
 Env:   DSJAX_EVAL_DECODER=greedy|beam (default greedy)
+       DSJAX_EVAL_DEVICE_FEATURES=1   STFT inside the jitted step
 """
 import os
 import sys
@@ -61,10 +62,12 @@ def main():
     handler.save(state, {"wer": 1.0})
     handler.close()
 
+    dev_feats = os.environ.get("DSJAX_EVAL_DEVICE_FEATURES", "") not in ("", "0")
     ecfg = compose(EvalConfig, [
         f"model.model_path={ckpt_dir}", f"test_path={manifest}",
         "model.precision=16", "verbose=false", "batch_size=16",
         f"lm.decoder_type={decoder}",
+        f"device_features={'true' if dev_feats else 'false'}",
     ])
     t0 = time.time()
     evaluate(ecfg)  # prints its own utt/s (incl. first-batch compile)
