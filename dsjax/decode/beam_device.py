@@ -269,6 +269,9 @@ class DeviceBeamDecoder:
         if lm_path:
             from dsjax.decode.lm_device import DeviceNgramLM
 
+            if " " not in self.labels:
+                raise ValueError("on-device LM fusion needs a space label "
+                                 "(word boundaries)")
             self._lm = DeviceNgramLM(lm_path, labels, blank_index).device()
 
     def reset_params(self, alpha: float, beta: float) -> None:
