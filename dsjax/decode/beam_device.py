@@ -60,10 +60,12 @@ def _seg_logaddexp(flags, values):
 
 
 @functools.partial(jax.jit, static_argnames=("beam_width", "blank", "merge",
-                                              "space"))
+                                              "space", "cutoff_top_n",
+                                              "cutoff_prob"))
 def _beam_scan(log_probs: jnp.ndarray, sizes: jnp.ndarray, beam_width: int,
                blank: int, merge: bool = True, lm=None, alpha=None,
-               beta=None, space: int = -1):
+               beta=None, space: int = -1, cutoff_top_n: int = 10 ** 9,
+               cutoff_prob: float = 1.0):
     """log_probs (B, T, C) -> (backptr (T, B, W), emit (T, B, W),
     final total scores (B, W)).
 
@@ -101,23 +103,46 @@ def _beam_scan(log_probs: jnp.ndarray, sizes: jnp.ndarray, beam_width: int,
     classes = jnp.arange(c_dim)
     slot_iota = jnp.arange(w)[None, :]
 
+    prune = cutoff_top_n < c_dim or cutoff_prob < 1.0
+
     def step(carry, inp):
         (p_b, p_nb, last, h1, h2), lm_state = carry
         cur1, cur2, ctx, in_word, memo = lm_state
         lp_t, t = inp
         total = jnp.logaddexp(p_b, p_nb)                # (B, W)
 
+        if prune:
+            # per-step candidate pruning, host-twin semantics: keep the
+            # top cutoff_top_n chars AND the smallest head of the sorted
+            # distribution whose cumulative prob reaches cutoff_prob; a
+            # char outside the kept set contributes NOTHING this frame
+            # (blank included — its stay mass is dropped too)
+            order = jnp.argsort(-lp_t, axis=1)
+            rank = jnp.argsort(order, axis=1)           # rank in desc order
+            svals = jnp.take_along_axis(lp_t, order, axis=1)
+            cum = jnp.cumsum(jnp.exp(svals), axis=1)
+            n_keep = jnp.sum(cum < cutoff_prob, axis=1, keepdims=True) + 1
+            keep = (rank < n_keep) & (rank < cutoff_top_n)  # (B, C)
+        else:
+            keep = None
+
         # stay: emit blank (from total) or repeat last char (from p_nb)
         lp_blank = lp_t[:, blank][:, None]
         lp_last = jnp.take_along_axis(lp_t, jnp.maximum(last, 0), axis=1)
         stay_b = total + lp_blank
         stay_nb = jnp.where(last >= 0, p_nb + lp_last, NEG)
+        if keep is not None:
+            stay_b = jnp.where(keep[:, blank][:, None], stay_b, NEG)
+            last_kept = jnp.take_along_axis(keep, jnp.maximum(last, 0), axis=1)
+            stay_nb = jnp.where(last_kept, stay_nb, NEG)
 
         # extend with char c: from total if c != last else from p_b only
         from_score = jnp.where(last[:, :, None] == classes[None, None, :],
                                p_b[:, :, None], total[:, :, None])
         ext = from_score + lp_t[:, None, :]             # (B, W, C)
         ext = ext.at[:, :, blank].set(NEG)
+        if keep is not None:
+            ext = jnp.where(keep[:, None, :], ext, NEG)
 
         if lm is not None:
             # word-boundary LM bonus for every space extension: score the
@@ -258,13 +283,16 @@ class DeviceBeamDecoder:
 
     def __init__(self, labels: Sequence[str], beam_width: int = 16,
                  blank_index: int = 0, lm_path: Optional[str] = None,
-                 alpha: float = 0.0, beta: float = 0.0):
+                 alpha: float = 0.0, beta: float = 0.0,
+                 cutoff_top_n: int = 10 ** 9, cutoff_prob: float = 1.0):
         self.label_map = LabelMap(labels, blank_index)
         self.labels = list(labels)
         self.beam_width = beam_width
         self.blank_index = blank_index
         self.alpha = alpha
         self.beta = beta
+        self.cutoff_top_n = cutoff_top_n
+        self.cutoff_prob = cutoff_prob
         self._lm = None
         if lm_path:
             from dsjax.decode.lm_device import DeviceNgramLM
@@ -292,7 +320,10 @@ class DeviceBeamDecoder:
                          beta=jnp.float32(self.beta),
                          space=self.label_map.space_index)
         backptr, emit, scores = _beam_scan(lp, sizes_arr, self.beam_width,
-                                           self.blank_index, **lm_kw)
+                                           self.blank_index,
+                                           cutoff_top_n=self.cutoff_top_n,
+                                           cutoff_prob=self.cutoff_prob,
+                                           **lm_kw)
         backptr = np.asarray(backptr)   # (T, B, W)
         emit = np.asarray(emit)
         order = np.argsort(-np.asarray(scores), axis=1)  # (B, W)

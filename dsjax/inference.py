@@ -115,7 +115,9 @@ def load_decoder(labels: List[str], cfg: LMConfig):
         if not cfg.lm_path:
             from dsjax.decode.beam_device import DeviceBeamDecoder
 
-            return DeviceBeamDecoder(labels, beam_width=cfg.beam_width)
+            return DeviceBeamDecoder(labels, beam_width=cfg.beam_width,
+                                     cutoff_top_n=cfg.cutoff_top_n,
+                                     cutoff_prob=cfg.cutoff_prob)
         if getattr(cfg, "device_beam", False):
             from dsjax.decode.lm import BINARY_MAGIC
 
@@ -126,7 +128,9 @@ def load_decoder(labels: List[str], cfg: LMConfig):
 
                 return DeviceBeamDecoder(labels, beam_width=cfg.beam_width,
                                          lm_path=cfg.lm_path,
-                                         alpha=cfg.alpha, beta=cfg.beta)
+                                         alpha=cfg.alpha, beta=cfg.beta,
+                                         cutoff_top_n=cfg.cutoff_top_n,
+                                         cutoff_prob=cfg.cutoff_prob)
         return BeamCTCDecoder(labels, lm_path=cfg.lm_path,
                               alpha=cfg.alpha, beta=cfg.beta,
                               cutoff_top_n=cfg.cutoff_top_n,

@@ -302,3 +302,30 @@ def test_packed_tables_at_scale():
         assert abs(want - got[j]) < 1e-4, (j, w, ctx, want, got[j])
     # vocab ids are a bijection onto 0..n_vocab-1
     assert int(np.asarray(wid_all).min()) >= 0
+
+
+@pytest.mark.parametrize("top_n,cprob,with_lm", [
+    (3, 1.0, False), (6, 0.9, False), (2, 0.8, True), (4, 0.95, True)])
+def test_cutoff_pruning_matches_host(arpa_path, top_n, cprob, with_lm):
+    """cutoff_top_n / cutoff_prob prune per-step candidates in the device
+    scan exactly like the host twin (incl. dropping blank's stay mass when
+    blank falls outside the kept set)."""
+    rng = np.random.default_rng(17)
+    t = 6
+    probs = _random_spaceful_probs(rng, 3, t)
+    host = BeamCTCDecoder(LABELS, lm_path=arpa_path if with_lm else None,
+                          alpha=0.9 if with_lm else 0.0,
+                          beta=0.2 if with_lm else 0.0, beam_width=200000,
+                          cutoff_top_n=top_n, cutoff_prob=cprob,
+                          num_processes=1)
+    host._cpp = None
+    dev = DeviceBeamDecoder(LABELS, beam_width=4096,
+                            lm_path=arpa_path if with_lm else None,
+                            alpha=0.9 if with_lm else 0.0,
+                            beta=0.2 if with_lm else 0.0,
+                            cutoff_top_n=top_n, cutoff_prob=cprob)
+    ds, _ = dev.decode(probs, [t] * 3)
+    for i in range(3):
+        res = host._decode_one(probs[i])
+        h_str = "".join(LABELS[j] for j in res[0][0])
+        assert h_str == ds[i][0], (top_n, cprob, with_lm, i, h_str, ds[i][0])
