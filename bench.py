@@ -119,9 +119,14 @@ def build_program(n_steps: int):
     def program(seed):
         rng = jax.random.PRNGKey(seed)
         k_init, k_x, k_t = jax.random.split(rng, 3)
-        inputs = jax.random.normal(k_x, (B, F, T), jnp.float32)
+        # the barrier pins the synthetic batch in HBM: without it XLA
+        # rematerializes the RNG inside the scan body (~6 ms/step of
+        # generation cost that real training, which feeds real batches,
+        # does not pay)
+        inputs, targets = jax.lax.optimization_barrier(
+            (jax.random.normal(k_x, (B, F, T), jnp.float32),
+             jax.random.randint(k_t, (B, L), 1, C, jnp.int32)))
         input_lengths = jnp.asarray(in_lens)
-        targets = jax.random.randint(k_t, (B, L), 1, C, jnp.int32)
         target_lengths = jnp.asarray(tgt_lens)
         variables = model.init(k_init, inputs, input_lengths, train=False)
         state = TrainState(params=variables["params"],

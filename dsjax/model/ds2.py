@@ -157,14 +157,14 @@ class ConvFrontend(nn.Module):
 
         x = FastConv(32, kernel_size=(41, 11), strides=(2, 2),
                      padding=((20, 20), (5, 5)), dtype=self.dtype,
-                     block_j=16, name="conv1")(x)
+                     block_j=8, name="conv1")(x)
         m = time_mask(x.shape[2])
         x = x * m
         x = TorchBatchNorm(32, axes=(0, 1, 2), dtype=self.dtype, name="bn1")(x, train)
         x = hardtanh_0_20(x) * m
         x = FastConv(32, kernel_size=(21, 11), strides=(2, 1),
                      padding=((10, 10), (5, 5)), dtype=self.dtype,
-                     block_j=8, name="conv2")(x)
+                     block_j=4, name="conv2")(x)
         m = time_mask(x.shape[2])
         x = x * m
         x = TorchBatchNorm(32, axes=(0, 1, 2), dtype=self.dtype, name="bn2")(x, train)
