@@ -65,9 +65,13 @@ def _seg_logaddexp(flags, values):
 def _beam_scan(log_probs: jnp.ndarray, sizes: jnp.ndarray, beam_width: int,
                blank: int, merge: bool = True, lm=None, alpha=None,
                beta=None, space: int = -1, cutoff_top_n: int = 10 ** 9,
-               cutoff_prob: float = 1.0):
+               cutoff_prob: float = 1.0, carry0=None):
     """log_probs (B, T, C) -> (backptr (T, B, W), emit (T, B, W),
-    final total scores (B, W)).
+    final total scores (B, W), carry).
+
+    ``carry0`` resumes the search from a previous call's returned carry
+    (streaming: decoding chunk-by-chunk with carried beam state is EXACTLY
+    the one-shot decode of the concatenated posteriors).
 
     merge=True performs EXACT prefix merging: every candidate carries two
     independent rolling hashes of its collapsed prefix; candidates are
@@ -259,17 +263,32 @@ def _beam_scan(log_probs: jnp.ndarray, sizes: jnp.ndarray, beam_width: int,
         em = jnp.where(act, char, -1)
         return ((p_b, p_nb, last, h1, h2), lm_state), (bp.astype(jnp.int32), em)
 
-    ((p_b, p_nb, *_), lm_state), (backptr, emit) = jax.lax.scan(
-        step, ((p_b0, p_nb0, last0, h1_0, h2_0), lm0),
-        (lp, jnp.arange(t_dim)))
+    init = carry0 if carry0 is not None else ((p_b0, p_nb0, last0, h1_0,
+                                               h2_0), lm0)
+    carry, (backptr, emit) = jax.lax.scan(step, init,
+                                          (lp, jnp.arange(t_dim)))
+    (p_b, p_nb, *_), lm_state = carry
     totals = jnp.logaddexp(p_b, p_nb)
     if lm is not None:
         # trailing-word finalization (host twin: prefix nonempty and not
-        # ending in space gains one more word bonus)
+        # ending in space gains one more word bonus); display-only — the
+        # returned carry stays bonus-free so streaming can continue
         cur1, cur2, ctx, in_word, _ = lm_state
         score_ln, _ = score_word_ln(lm, cur1, cur2, ctx)
         totals = totals + jnp.where(in_word, alpha * score_ln + beta, 0.0)
-    return backptr, emit, totals
+    return backptr, emit, totals, carry
+
+
+class _BeamStreamState:
+    """Carried streaming-beam state: the device scan carry + per-beam
+    hypothesis strings (host side) + the current best text."""
+
+    __slots__ = ("carry", "strings", "text")
+
+    def __init__(self, carry, strings, text):
+        self.carry = carry
+        self.strings = strings
+        self.text = text
 
 
 class DeviceBeamDecoder:
@@ -307,6 +326,50 @@ class DeviceBeamDecoder:
         self.alpha = alpha
         self.beta = beta
 
+    def decode_chunk(self, probs, state=None):
+        """Streaming decode: feed one (1, T, C) posterior chunk, carrying
+        the FULL beam search state (scores, prefix hashes, LM word state)
+        across calls — chunked decoding is exactly the one-shot decode of
+        the concatenated posteriors.
+
+        state: None for a new stream, else the value returned previously.
+        Returns (best_text, new_state); new_state.text holds the current
+        top hypothesis, new_state.strings all beam hypotheses."""
+        probs = jnp.asarray(probs)
+        if probs.ndim == 2:
+            probs = probs[None]
+        b, t = probs.shape[0], probs.shape[1]
+        assert b == 1, "decode_chunk streams one utterance"
+        lp = jnp.log(jnp.maximum(probs.astype(jnp.float32), 1e-30))
+        lm_kw = {}
+        if self._lm is not None:
+            lm_kw = dict(lm=self._lm, alpha=jnp.float32(self.alpha),
+                         beta=jnp.float32(self.beta),
+                         space=self.label_map.space_index)
+        carry0 = state.carry if state is not None else None
+        backptr, emit, scores, carry = _beam_scan(
+            lp, jnp.full((b,), t, jnp.int32), self.beam_width,
+            self.blank_index, cutoff_top_n=self.cutoff_top_n,
+            cutoff_prob=self.cutoff_prob, carry0=carry0, **lm_kw)
+        backptr = np.asarray(backptr)[:, 0]   # (T, W)
+        emit = np.asarray(emit)[:, 0]
+        w = self.beam_width
+        # chunk-local backtrack: slot at chunk end -> (start slot, chars)
+        slot = np.arange(w)
+        rev = np.full((t, w), -1, np.int32)
+        for ti in range(t - 1, -1, -1):
+            rev[ti] = emit[ti][slot]
+            slot = backptr[ti][slot]
+        old = state.strings if state is not None else [""] * w
+        strings = []
+        for p in range(w):
+            chars = rev[:, p][rev[:, p] >= 0]
+            strings.append(old[slot[p]] + "".join(
+                self.label_map.int_to_char[int(c)] for c in chars))
+        order = int(np.asarray(scores)[0].argmax())
+        new_state = _BeamStreamState(carry, strings, strings[order])
+        return strings[order], new_state
+
     def decode(self, probs, sizes: Optional[Sequence[int]] = None,
                n_best: int = 1) -> Tuple[List[List[str]], List[List[np.ndarray]]]:
         probs = jnp.asarray(probs)
@@ -319,11 +382,11 @@ class DeviceBeamDecoder:
             lm_kw = dict(lm=self._lm, alpha=jnp.float32(self.alpha),
                          beta=jnp.float32(self.beta),
                          space=self.label_map.space_index)
-        backptr, emit, scores = _beam_scan(lp, sizes_arr, self.beam_width,
-                                           self.blank_index,
-                                           cutoff_top_n=self.cutoff_top_n,
-                                           cutoff_prob=self.cutoff_prob,
-                                           **lm_kw)
+        backptr, emit, scores, _ = _beam_scan(lp, sizes_arr, self.beam_width,
+                                              self.blank_index,
+                                              cutoff_top_n=self.cutoff_top_n,
+                                              cutoff_prob=self.cutoff_prob,
+                                              **lm_kw)
         backptr = np.asarray(backptr)   # (T, B, W)
         emit = np.asarray(emit)
         order = np.argsort(-np.asarray(scores), axis=1)  # (B, W)

