@@ -371,7 +371,11 @@ class DeviceBeamDecoder:
         return strings[order], new_state
 
     def decode(self, probs, sizes: Optional[Sequence[int]] = None,
-               n_best: int = 1) -> Tuple[List[List[str]], List[List[np.ndarray]]]:
+               n_best: Optional[int] = None
+               ) -> Tuple[List[List[str]], List[List[np.ndarray]]]:
+        # all beams by default (host BeamCTCDecoder contract: consumers
+        # slice by lm.top_paths)
+        n_best = self.beam_width if n_best is None else n_best
         probs = jnp.asarray(probs)
         b, t = probs.shape[0], probs.shape[1]
         sizes_arr = (jnp.full((b,), t, jnp.int32) if sizes is None

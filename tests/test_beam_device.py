@@ -84,3 +84,20 @@ def test_n_best():
     assert len(offsets[0]) == 3
     # n-best should be distinct hypotheses (usually)
     assert len(set(strings[0])) >= 2
+
+
+def test_decode_returns_all_beams_by_default():
+    """Host-decoder contract: decode() yields beam_width hypotheses so
+    lm.top_paths>1 works through decode_results (reference returns all
+    beams from ctcdecode)."""
+    rng = np.random.default_rng(5)
+    logits = rng.standard_normal((1, 9, len(LABELS))) * 2
+    probs = (np.exp(logits) / np.exp(logits).sum(-1, keepdims=True)
+             ).astype(np.float32)
+    dev = DeviceBeamDecoder(LABELS, beam_width=6)
+    strings, offsets = dev.decode(probs)
+    assert len(strings[0]) == 6 and len(offsets[0]) == 6
+    from dsjax.inference import decode_results
+
+    res = decode_results(strings, offsets, top_paths=3)
+    assert len(res["output"]) == 3
