@@ -281,10 +281,12 @@ bool decode_opus_packets(const std::vector<std::pair<const uint8_t *, size_t>> &
                              frame.begin() + (size_t)n * head.channels);
     }
     o.destroy(dec);
-    // drop the encoder pre-skip samples
+    // drop the encoder pre-skip samples (a clip shorter than the pre-skip
+    // is ALL priming garbage and must come back empty, not as warm-up PCM)
     size_t skip = (size_t)head.preskip * head.channels;
-    if (skip && skip < out->data.size())
-        out->data.erase(out->data.begin(), out->data.begin() + skip);
+    if (skip)
+        out->data.erase(out->data.begin(),
+                        out->data.begin() + std::min(skip, out->data.size()));
     out->channels = head.channels;
     out->rate = 48000;
     return !out->data.empty();
@@ -315,6 +317,9 @@ struct VorbisLib {
     int (*pcmout)(void *, float ***);
     int (*read_)(void *, int);
     void (*info_clear)(void *);
+    void (*dsp_clear)(void *);
+    void (*block_clear)(void *);
+    void (*comment_clear)(void *);
     bool ok = false;
 
     VorbisLib() {
@@ -330,7 +335,10 @@ struct VorbisLib {
              && sym(lib, "vorbis_synthesis_blockin", &blockin)
              && sym(lib, "vorbis_synthesis_pcmout", &pcmout)
              && sym(lib, "vorbis_synthesis_read", &read_)
-             && sym(lib, "vorbis_info_clear", &info_clear);
+             && sym(lib, "vorbis_info_clear", &info_clear)
+             && sym(lib, "vorbis_dsp_clear", &dsp_clear)
+             && sym(lib, "vorbis_block_clear", &block_clear)
+             && sym(lib, "vorbis_comment_clear", &comment_clear);
     }
 };
 
@@ -356,10 +364,13 @@ bool decode_vorbis_packets(const std::vector<std::pair<const uint8_t *, size_t>>
         if (v.headerin(vi.data(), vc.data(), &op) < 0) { ok = false; break; }
     }
     VorbisInfoHead *vih = (VorbisInfoHead *)vi.data();
-    if (ok && (v.synth_init(vd.data(), vi.data()) != 0 || vih->channels <= 0))
-        ok = false;
+    bool dsp_live = false, blk_live = false;
     if (ok) {
-        v.block_init(vd.data(), vb.data());
+        dsp_live = v.synth_init(vd.data(), vi.data()) == 0;
+        if (!dsp_live || vih->channels <= 0) ok = false;
+    }
+    if (ok) {
+        blk_live = v.block_init(vd.data(), vb.data()) == 0;
         int ch = vih->channels;
         out->channels = ch;
         out->rate = (int)vih->rate;
@@ -382,6 +393,11 @@ bool decode_vorbis_packets(const std::vector<std::pair<const uint8_t *, size_t>>
             }
         }
     }
+    // full teardown: dsp/block states own window + PCM work buffers that
+    // otherwise leak per request in the long-running server
+    if (blk_live) v.block_clear(vb.data());
+    if (dsp_live) v.dsp_clear(vd.data());
+    v.comment_clear(vc.data());
     v.info_clear(vi.data());
     return ok && !out->data.empty();
 }

@@ -161,6 +161,9 @@ BinaryLM::BinaryLM(const std::string& path) {
     map_ = nullptr;
     return;
   }
+  // untrusted input: validate every size BEFORE dereferencing, with
+  // overflow-safe bounds arithmetic (a corrupt header must fail cleanly,
+  // not memcpy gigabytes past the map or wrap `off` back into range)
   const uint8_t* p = (const uint8_t*)map_;
   if (memcmp(p, kMagic, 8) != 0) return;
   uint32_t order, vocab, unk, reserved;
@@ -168,17 +171,28 @@ BinaryLM::BinaryLM(const std::string& path) {
   memcpy(&vocab, p + 12, 4);
   memcpy(&unk, p + 16, 4);
   memcpy(&reserved, p + 20, 4);
+  if (order < 1 || order > 64) return;
   size_t off = 24;
+  // remaining-bytes check that cannot overflow: elem counts are compared
+  // against (map_len_ - off) / elem_size
+  auto fits = [&](size_t count, size_t elem) {
+    return off <= map_len_ && count <= (map_len_ - off) / elem;
+  };
+  if (!fits(order, 8)) return;
   counts_.resize(order);
   memcpy(counts_.data(), p + off, 8 * order);
   off = align8(off + 8 * order);
   vocab_ = vocab;
   unk_id_ = unk;
   has_unk_ = unk != kOov;
+  if (has_unk_ && unk >= vocab) return;
+  if (!fits(vocab, 8)) return;
   vocab_hashes_ = (const uint64_t*)(p + off);
   off += 8 * (size_t)vocab;
+  if (!fits(vocab, 4)) return;
   uni_logp_ = (const float*)(p + off);
   off += 4 * (size_t)vocab;
+  if (!fits(vocab, 4)) return;
   uni_backoff_ = (const float*)(p + off);
   off = align8(off + 4 * (size_t)vocab);
   keys_.assign(order, nullptr);
@@ -186,10 +200,13 @@ BinaryLM::BinaryLM(const std::string& path) {
   backoff_.assign(order, nullptr);
   for (uint32_t n = 2; n <= order; ++n) {
     uint64_t cnt = counts_[n - 1];
+    if (!fits(cnt, 8)) return;
     keys_[n - 1] = (const uint64_t*)(p + off);
     off += 8 * cnt;
+    if (!fits(cnt, 4)) return;
     logp_[n - 1] = (const float*)(p + off);
     off += 4 * cnt;
+    if (!fits(cnt, 4)) return;
     backoff_[n - 1] = (const float*)(p + off);
     off = align8(off + 4 * cnt);
   }

@@ -117,16 +117,20 @@ def _beam_scan(log_probs: jnp.ndarray, sizes: jnp.ndarray, beam_width: int,
 
         if prune:
             # per-step candidate pruning, host-twin semantics: keep the
-            # top cutoff_top_n chars AND the smallest head of the sorted
-            # distribution whose cumulative prob reaches cutoff_prob; a
-            # char outside the kept set contributes NOTHING this frame
-            # (blank included — its stay mass is dropped too)
+            # top cutoff_top_n chars AND (only when cutoff_prob < 1, like
+            # the host — f32 cumsum can reach 1.0 early and would drop
+            # tail classes the host keeps) the smallest head of the sorted
+            # distribution reaching cutoff_prob; a char outside the kept
+            # set contributes NOTHING this frame (blank included — its
+            # stay mass is dropped too)
             order = jnp.argsort(-lp_t, axis=1)
             rank = jnp.argsort(order, axis=1)           # rank in desc order
-            svals = jnp.take_along_axis(lp_t, order, axis=1)
-            cum = jnp.cumsum(jnp.exp(svals), axis=1)
-            n_keep = jnp.sum(cum < cutoff_prob, axis=1, keepdims=True) + 1
-            keep = (rank < n_keep) & (rank < cutoff_top_n)  # (B, C)
+            keep = rank < cutoff_top_n                   # (B, C)
+            if cutoff_prob < 1.0:
+                svals = jnp.take_along_axis(lp_t, order, axis=1)
+                cum = jnp.cumsum(jnp.exp(svals), axis=1)
+                n_keep = jnp.sum(cum < cutoff_prob, axis=1, keepdims=True) + 1
+                keep &= rank < n_keep
         else:
             keep = None
 

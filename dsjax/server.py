@@ -205,7 +205,11 @@ class BatchWorker(threading.Thread):
                         np.asarray(probs), sess.beam_state)
                 else:
                     # incremental greedy collapse over this chunk only
-                    int_to_char = self.decoder.int_to_char
+                    # (host beam decoders cannot stream; /stream degrades
+                    # to greedy for them rather than erroring)
+                    int_to_char = getattr(self.decoder, "int_to_char", None)
+                    if int_to_char is None:
+                        int_to_char = self.decoder.label_map.int_to_char
                     for lbl in np.argmax(np.asarray(probs)[0], axis=-1):
                         lbl = int(lbl)
                         if lbl != blank and lbl != sess.prev_label:
@@ -297,10 +301,12 @@ def make_handler(worker: BatchWorker, cfg: ServerConfig):
                 return
             ext = (filename or "upload.wav").rsplit(".", 1)[-1].lower()
             if ext in COMPRESSED_EXTENSIONS:
-                from dsjax.cpp.audio_binding import available_formats
+                # per-codec capability check (a host with only libmpg123
+                # must 415 an .opus upload, not 400 it mid-decode)
+                from dsjax.cpp.audio_binding import can_decode
 
-                if not available_formats():
-                    self._send(415, {"error": f".{ext}: no codec libraries "
+                if not can_decode(f"x.{ext}"):
+                    self._send(415, {"error": f".{ext}: codec library not "
                                               f"available on this host"})
                     return
             elif ext not in ALLOWED_EXTENSIONS:

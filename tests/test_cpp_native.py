@@ -141,3 +141,31 @@ def test_cpp_beam_matches_python_wide(tmp_path, with_lm):
         assert len(offs) == len(cpp_hyps[0][0])
         assert all(0 <= o < 50 for o in offs)
         assert all(b > a for a, b in zip(offs, offs[1:]))
+
+
+def test_binary_lm_fuzz_truncated_corrupted(tmp_path):
+    """DSLMBIN1 is untrusted input: truncated and bit-flipped binaries must
+    load as invalid (or raise) — never memcpy past the map or crash."""
+    p = tmp_path / "t.arpa"
+    p.write_text(ARPA)
+    bin_path = str(tmp_path / "lm.bin")
+    cpp.build_lm_binary(str(p), bin_path)
+    blob = bytearray(open(bin_path, "rb").read())
+    rng = np.random.default_rng(0)
+    for trial in range(40):
+        buf = bytearray(blob)
+        if trial % 2 == 0:
+            buf = buf[: int(rng.integers(9, len(buf)))]  # keep magic
+        else:
+            idx = rng.integers(8, len(buf), size=6)
+            for i in idx:
+                buf[int(i)] ^= int(rng.integers(1, 255))
+        f = tmp_path / f"f{trial}.bin"
+        f.write_bytes(bytes(buf))
+        try:
+            lm = cpp.CppLM(str(f))
+            # loaded or rejected: any score query must be finite-safe
+            if lm.order >= 1:
+                lm.score_word("CAB", ["AB"])
+        except Exception:
+            pass  # clean rejection is fine; a crash would kill pytest
