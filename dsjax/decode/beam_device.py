@@ -167,27 +167,27 @@ def _beam_scan(log_probs: jnp.ndarray, sizes: jnp.ndarray, beam_width: int,
         # candidate fields, pool layout [W stays | W*C extends]
         ext_h1 = (h1[:, :, None] * _P1 + (classes + 1)[None, None, :])
         ext_h2 = (h2[:, :, None] * _P2 + (classes + 1)[None, None, :])
-        cand_b = jnp.concatenate([stay_b, jnp.full((b_dim, w * c_dim), NEG)], 1)
-        cand_nb = jnp.concatenate([stay_nb, ext.reshape(b_dim, -1)], 1)
         cand_h1 = jnp.concatenate([h1, ext_h1.reshape(b_dim, -1)], 1)
         cand_h2 = jnp.concatenate([h2, ext_h2.reshape(b_dim, -1)], 1)
-        cand_last = jnp.concatenate(
-            [last, jnp.broadcast_to(classes[None, None, :],
-                                    (b_dim, w, c_dim)).reshape(b_dim, -1)], 1)
         idx_flat = jnp.arange(k_dim)[None, :]
-        cand_parent = jnp.where(idx_flat < w, idx_flat, (idx_flat - w) // c_dim)
-        cand_parent = jnp.broadcast_to(cand_parent, (b_dim, k_dim))
-        cand_char = jnp.where(idx_flat < w, -1, (idx_flat - w) % c_dim)
-        cand_char = jnp.broadcast_to(cand_char, (b_dim, k_dim)).astype(jnp.int32)
 
         if merge:
             # lexicographic sort by (h1, h2) — equal prefixes become
             # adjacent EXACTLY (a single-key h1 sort can interleave h1
-            # collisions and split a prefix's run); lax.sort carries the
-            # payload fields along, so no gather chain is needed
-            (s_h1, s_h2, s_b, s_nb, s_last, s_parent, s_char) = jax.lax.sort(
-                (cand_h1, cand_h2, cand_b, cand_nb, cand_last,
-                 cand_parent, cand_char), dimension=1, num_keys=2)
+            # collisions and split a prefix's run). Payloads ride the
+            # sorting network (k-wide post-sort gathers are FAR slower on
+            # TPU than sort payload carry — measured 2.5x worse at width
+            # 128), but only the two masses and the flat pool index are
+            # carried: parent/char/last are pure arithmetic on the pool
+            # index of each top-k winner, which drops the sort from 7
+            # operands to 5.
+            iota = jnp.broadcast_to(idx_flat, (b_dim, k_dim)).astype(jnp.int32)
+            cand_b = jnp.concatenate(
+                [stay_b, jnp.full((b_dim, w * c_dim), NEG)], 1)
+            cand_nb = jnp.concatenate([stay_nb, ext.reshape(b_dim, -1)], 1)
+            s_h1, s_h2, s_b, s_nb, s_idx = jax.lax.sort(
+                (cand_h1, cand_h2, cand_b, cand_nb, iota),
+                dimension=1, num_keys=2)
             prev_h1 = jnp.pad(s_h1, ((0, 0), (1, 0)))[:, :-1]
             prev_h2 = jnp.pad(s_h2, ((0, 0), (1, 0)))[:, :-1]
             first = ((idx_flat == 0) | (s_h1 != prev_h1)
@@ -202,15 +202,34 @@ def _beam_scan(log_probs: jnp.ndarray, sizes: jnp.ndarray, beam_width: int,
             top_scores, top_idx = jax.lax.top_k(m_total, w)
             take = lambda a: jnp.take_along_axis(a, top_idx, axis=1)
             new_p_b, new_p_nb = take(m_b), take(m_nb)
-            new_last, new_h1, new_h2 = take(s_last), take(s_h1), take(s_h2)
-            parent, char = take(s_parent), take(s_char)
+            new_h1, new_h2 = take(s_h1), take(s_h2)
+            sel = take(s_idx)                   # winner's flat pool index
+            sel_stay = sel < w
+            char = jnp.where(sel_stay, -1,
+                             (sel - w) % c_dim).astype(jnp.int32)
+            parent = jnp.where(sel_stay, sel, (sel - w) // c_dim)
+            new_last = jnp.where(char >= 0, char,
+                                 jnp.take_along_axis(last, parent, axis=1))
         else:
-            cand_total = jnp.logaddexp(cand_b, cand_nb)
+            # extends carry no blank mass, so pool totals are just
+            # [logaddexp(stay_b, stay_nb) | ext]; payloads reconstruct from
+            # the winning pool indices like the merge branch above
+            cand_total = jnp.concatenate(
+                [jnp.logaddexp(stay_b, stay_nb), ext.reshape(b_dim, -1)], 1)
             top_scores, top_idx = jax.lax.top_k(cand_total, w)
-            take = lambda a: jnp.take_along_axis(a, top_idx, axis=1)
-            new_p_b, new_p_nb = take(cand_b), take(cand_nb)
-            new_last, new_h1, new_h2 = take(cand_last), take(cand_h1), take(cand_h2)
-            parent, char = take(cand_parent), take(cand_char)
+            is_stay = top_idx < w
+            pclip = jnp.minimum(top_idx, w - 1)
+            eclip = jnp.clip(top_idx - w, 0, w * c_dim - 1)
+            char = jnp.where(is_stay, -1, (top_idx - w) % c_dim).astype(jnp.int32)
+            parent = jnp.where(is_stay, top_idx, (top_idx - w) // c_dim)
+            gstay = lambda a: jnp.take_along_axis(a, pclip, axis=1)
+            gext = lambda a: jnp.take_along_axis(a.reshape(b_dim, -1), eclip,
+                                                 axis=1)
+            new_p_b = jnp.where(is_stay, gstay(stay_b), NEG)
+            new_p_nb = jnp.where(is_stay, gstay(stay_nb), gext(ext))
+            new_last = jnp.where(is_stay, gstay(last), char)
+            new_h1 = jnp.where(is_stay, gstay(h1), gext(ext_h1))
+            new_h2 = jnp.where(is_stay, gstay(h2), gext(ext_h2))
 
         # dead beams must not alias live prefixes, and must carry NO mass:
         # top-k filler slots are run-interior positions whose (m_b, m_nb)
@@ -281,6 +300,22 @@ def _beam_scan(log_probs: jnp.ndarray, sizes: jnp.ndarray, beam_width: int,
         score_ln, _ = score_word_ln(lm, cur1, cur2, ctx)
         totals = totals + jnp.where(in_word, alpha * score_ln + beta, 0.0)
     return backptr, emit, totals, carry
+
+
+@jax.jit
+def _backtrack(backptr, emit, order):
+    """Chase parent pointers ON DEVICE: (T, B, W) backptr/emit + (B, K)
+    slots-to-follow -> (T, B, K) emitted chars (int16, -1 = none) and the
+    (B, K) start slots at t=0. Keeps the O(T) pointer chase off the host
+    and shrinks the device->host transfer 4x (the two int32 pointer arrays
+    never leave the device)."""
+    def step(slot, be):
+        bp, em = be
+        ch = jnp.take_along_axis(em, slot, axis=1)
+        return jnp.take_along_axis(bp, slot, axis=1), ch
+
+    start, rev = jax.lax.scan(step, order, (backptr, emit), reverse=True)
+    return rev.astype(jnp.int16), start
 
 
 class _BeamStreamState:
@@ -355,15 +390,13 @@ class DeviceBeamDecoder:
             lp, jnp.full((b,), t, jnp.int32), self.beam_width,
             self.blank_index, cutoff_top_n=self.cutoff_top_n,
             cutoff_prob=self.cutoff_prob, carry0=carry0, **lm_kw)
-        backptr = np.asarray(backptr)[:, 0]   # (T, W)
-        emit = np.asarray(emit)[:, 0]
         w = self.beam_width
-        # chunk-local backtrack: slot at chunk end -> (start slot, chars)
-        slot = np.arange(w)
-        rev = np.full((t, w), -1, np.int32)
-        for ti in range(t - 1, -1, -1):
-            rev[ti] = emit[ti][slot]
-            slot = backptr[ti][slot]
+        # chunk-local backtrack ON DEVICE: slot at chunk end -> (start
+        # slot, chars)
+        rev_d, start_d = _backtrack(backptr, emit,
+                                    jnp.arange(w, dtype=jnp.int32)[None, :])
+        rev = np.asarray(rev_d)[:, 0]          # (T, W) int16
+        slot = np.asarray(start_d)[0]
         old = state.strings if state is not None else [""] * w
         strings = []
         for p in range(w):
@@ -395,28 +428,24 @@ class DeviceBeamDecoder:
                                               cutoff_top_n=self.cutoff_top_n,
                                               cutoff_prob=self.cutoff_prob,
                                               **lm_kw)
-        backptr = np.asarray(backptr)   # (T, B, W)
-        emit = np.asarray(emit)
         order = np.argsort(-np.asarray(scores), axis=1)  # (B, W)
 
-        # vectorized host backtrack: follow parents from the last frame
-        t_dim, b_dim, w = backptr.shape
-        slot = order[:, :n_best].copy()                  # (B, n_best)
-        rev_chars = np.full((t_dim, b_dim, n_best), -1, np.int32)
-        rows = np.arange(b_dim)[:, None]
-        for ti in range(t_dim - 1, -1, -1):
-            rev_chars[ti] = emit[ti][rows, slot]
-            slot = backptr[ti][rows, slot]
+        # backtrack ON DEVICE; only the (T, B, n_best) int16 char stream
+        # crosses to the host
+        rev_d, _ = _backtrack(backptr, emit,
+                              jnp.asarray(order[:, :n_best], jnp.int32))
+        rev_chars = np.asarray(rev_d)                    # (T, B, n_best)
+        b_dim = rev_chars.shape[1]
 
+        lut = np.array([self.label_map.int_to_char.get(c, "")
+                        for c in range(int(rev_chars.max(initial=0)) + 1)])
         strings: List[List[str]] = []
         offsets: List[List[np.ndarray]] = []
         for i in range(b_dim):
             utt_s, utt_o = [], []
             for p in range(n_best):
                 pos = np.nonzero(rev_chars[:, i, p] >= 0)[0]
-                chars = rev_chars[pos, i, p]
-                utt_s.append("".join(self.label_map.int_to_char[int(c)]
-                                     for c in chars))
+                utt_s.append("".join(lut[rev_chars[pos, i, p]]))
                 utt_o.append(pos.astype(np.int32))
             strings.append(utt_s)
             offsets.append(utt_o)
