@@ -4,18 +4,22 @@ decode a full batch without shipping posteriors to the host (the reference's
 ctcdecode copies probs to CPU and fans out to threads, decoder.py:113-114).
 
 Algorithm: each beam keeps (p_blank, p_nonblank, last_char) plus two
-independent rolling hashes identifying its collapsed prefix. Per step the
-pool expands to {stay} ∪ {extend with each c}; candidates are sorted by
-hash and equal-prefix runs have their (p_b, p_nb) masses combined with a
-segmented logsumexp (EXACT prefix merging, collision odds ~2^-64), then the
-top-W merged prefixes survive. This is the same search as the host
-C++/Python decoder (dsjax.decode.beam) minus LM fusion — and at equal
-(non-exhaustive) widths it tends to find better hypotheses, because merged
-mass competes for beam slots a step earlier than in the dict-based
-formulation. Verified equal to the host search at exhaustive widths.
+independent rolling hashes of its collapsed prefix AND of that prefix minus
+its last char. Per step the pool expands to {stay} ∪ {extend with each c}.
+Because live beams hold pairwise-distinct prefixes, the only candidates
+that can collapse to the same string are extend(q, c) and stay(r) with
+prefix_r = prefix_q + c — found EXACTLY (collision odds ~2^-64) by an
+O(W^2) hash join of parent-prefix hashes against beam hashes, with no sort
+anywhere in the step. Matched extends have their mass absorbed into the
+stay's p_nb; the top-W distinct prefixes then survive a plain top-k. This
+is the same search as the host C++/Python decoder (dsjax.decode.beam) —
+and at equal (non-exhaustive) widths it tends to find better hypotheses,
+because merged mass competes for beam slots a step earlier than in the
+dict-based formulation. Verified equal to the host search at exhaustive
+widths.
 
 Emission history is stored as per-step backpointers (parent slot, emitted
-char) and reconstructed on the host with one vectorized numpy backward pass.
+char) and reconstructed by a reverse on-device scan (_backtrack).
 
 Optional ON-DEVICE LM fusion (lm_path): the word n-gram LM lives in HBM as
 hash tables (dsjax.decode.lm_device) and every beam carries rolling hashes
@@ -42,21 +46,18 @@ from dsjax.labels import LabelMap
 NEG = -1e30
 
 
-_P1 = jnp.int32(1000003)
-_P2 = jnp.int32(10007)
+# numpy (not jnp) scalars: a module-level jnp constant lives on the
+# device, and embedding it at trace time fetches its value back through
+# the (high-latency) device transport on EVERY first lower
+_P1 = np.int32(1000003)
+_P2 = np.int32(10007)
 
 
-def _seg_logaddexp(flags, values):
-    """Segmented logsumexp along the last axis: runs restart where flags=1;
-    each position holds the sum of its run's prefix (run totals at run ends)."""
-    def combine(a, b):
-        fa, va = a
-        fb, vb = b
-        v = jnp.where(fb > 0, vb, jnp.logaddexp(va, vb))
-        return (jnp.maximum(fa, fb) * 0 + jnp.where(fb > 0, fb, fa), v)
-
-    _, out = jax.lax.associative_scan(combine, (flags, values), axis=-1)
-    return out
+def _top_k(scores, k):
+    """Candidate selection. A Pallas bitonic-sort top-k was measured here
+    and exactly tied XLA's lax.top_k at the beam's shapes (173 vs 175 ms
+    per 500-frame scan at width 128) — so the XLA path ships alone."""
+    return jax.lax.top_k(scores, k)
 
 
 @functools.partial(jax.jit, static_argnames=("beam_width", "blank", "merge",
@@ -73,11 +74,9 @@ def _beam_scan(log_probs: jnp.ndarray, sizes: jnp.ndarray, beam_width: int,
     (streaming: decoding chunk-by-chunk with carried beam state is EXACTLY
     the one-shot decode of the concatenated posteriors).
 
-    merge=True performs EXACT prefix merging: every candidate carries two
-    independent rolling hashes of its collapsed prefix; candidates are
-    sorted by hash and equal-prefix runs have their (p_b, p_nb) masses
-    combined with a segmented logsumexp before top-k. Collision probability
-    is ~2^-64 per pair.
+    merge=True performs EXACT prefix merging via the sort-free O(W^2)
+    parent-hash join described in the module docstring. Collision
+    probability is ~2^-64 per pair.
 
     lm (dsjax.decode.lm_device.PackedLM) enables on-device shallow fusion:
     extending a beam with `space` adds alpha * ln P(word | context) + beta
@@ -89,7 +88,6 @@ def _beam_scan(log_probs: jnp.ndarray, sizes: jnp.ndarray, beam_width: int,
 
     b_dim, t_dim, c_dim = log_probs.shape
     w = beam_width
-    k_dim = w * (c_dim + 1)
     lp = jnp.transpose(log_probs, (1, 0, 2))            # (T, B, C)
 
     p_b0 = jnp.full((b_dim, w), NEG).at[:, 0].set(0.0)  # only beam 0 alive
@@ -97,6 +95,9 @@ def _beam_scan(log_probs: jnp.ndarray, sizes: jnp.ndarray, beam_width: int,
     last0 = jnp.full((b_dim, w), -1, jnp.int32)
     h1_0 = jnp.ones((b_dim, w), jnp.int32)
     h2_0 = jnp.ones((b_dim, w), jnp.int32)
+    # hash of the prefix MINUS its last char (0 = empty prefix, no parent)
+    ph1_0 = jnp.zeros((b_dim, w), jnp.int32)
+    ph2_0 = jnp.zeros((b_dim, w), jnp.int32)
     cw = 1 if lm is None else max(1, lm.order - 1)
     lm0 = (jnp.full((b_dim, w), CHAR_SEED, jnp.uint32),     # cur-word hash 1
            jnp.full((b_dim, w), CHAR_SEED, jnp.uint32),     # cur-word hash 2
@@ -110,7 +111,7 @@ def _beam_scan(log_probs: jnp.ndarray, sizes: jnp.ndarray, beam_width: int,
     prune = cutoff_top_n < c_dim or cutoff_prob < 1.0
 
     def step(carry, inp):
-        (p_b, p_nb, last, h1, h2), lm_state = carry
+        (p_b, p_nb, last, h1, h2, ph1, ph2), lm_state = carry
         cur1, cur2, ctx, in_word, memo = lm_state
         lp_t, t = inp
         total = jnp.logaddexp(p_b, p_nb)                # (B, W)
@@ -167,56 +168,78 @@ def _beam_scan(log_probs: jnp.ndarray, sizes: jnp.ndarray, beam_width: int,
         # candidate fields, pool layout [W stays | W*C extends]
         ext_h1 = (h1[:, :, None] * _P1 + (classes + 1)[None, None, :])
         ext_h2 = (h2[:, :, None] * _P2 + (classes + 1)[None, None, :])
-        cand_h1 = jnp.concatenate([h1, ext_h1.reshape(b_dim, -1)], 1)
-        cand_h2 = jnp.concatenate([h2, ext_h2.reshape(b_dim, -1)], 1)
-        idx_flat = jnp.arange(k_dim)[None, :]
 
         if merge:
-            # lexicographic sort by (h1, h2) — equal prefixes become
-            # adjacent EXACTLY (a single-key h1 sort can interleave h1
-            # collisions and split a prefix's run). Payloads ride the
-            # sorting network (k-wide post-sort gathers are FAR slower on
-            # TPU than sort payload carry — measured 2.5x worse at width
-            # 128), but only the two masses and the flat pool index are
-            # carried: parent/char/last are pure arithmetic on the pool
-            # index of each top-k winner, which drops the sort from 7
-            # operands to 5.
-            iota = jnp.broadcast_to(idx_flat, (b_dim, k_dim)).astype(jnp.int32)
-            cand_b = jnp.concatenate(
-                [stay_b, jnp.full((b_dim, w * c_dim), NEG)], 1)
-            cand_nb = jnp.concatenate([stay_nb, ext.reshape(b_dim, -1)], 1)
-            s_h1, s_h2, s_b, s_nb, s_idx = jax.lax.sort(
-                (cand_h1, cand_h2, cand_b, cand_nb, iota),
-                dimension=1, num_keys=2)
-            prev_h1 = jnp.pad(s_h1, ((0, 0), (1, 0)))[:, :-1]
-            prev_h2 = jnp.pad(s_h2, ((0, 0), (1, 0)))[:, :-1]
-            first = ((idx_flat == 0) | (s_h1 != prev_h1)
-                     | (s_h2 != prev_h2)).astype(jnp.float32)
-            m_b = _seg_logaddexp(first, s_b)
-            m_nb = _seg_logaddexp(first, s_nb)
-            # run END positions carry the full merged mass
-            nxt_first = jnp.pad(first, ((0, 0), (0, 1)),
-                                constant_values=1.0)[:, 1:]
-            is_end = nxt_first > 0
-            m_total = jnp.where(is_end, jnp.logaddexp(m_b, m_nb), NEG)
-            top_scores, top_idx = jax.lax.top_k(m_total, w)
-            take = lambda a: jnp.take_along_axis(a, top_idx, axis=1)
-            new_p_b, new_p_nb = take(m_b), take(m_nb)
-            new_h1, new_h2 = take(s_h1), take(s_h2)
-            sel = take(s_idx)                   # winner's flat pool index
-            sel_stay = sel < w
+            # EXACT merge WITHOUT sorting. Live beams hold pairwise-
+            # distinct prefixes (maintained inductively), so extend
+            # candidates are pairwise distinct too — extend(q, c) and
+            # extend(r, c') collapse to the same string only when q = r,
+            # c = c' — and stays are trivially distinct. The ONLY possible
+            # equal-prefix pair is extend(q, c) vs stay(r) with
+            # prefix_r = prefix_q + c, i.e. hash(q) = parent_hash(r) AND
+            # c = last_r, and each such match is unique in both
+            # directions. An O(W^2) hash join on the parent-prefix hashes
+            # finds every match, absorbs the extend's mass into the
+            # stay's p_nb, and kills the extend — replacing the
+            # O(k log^2 k) 5-operand lax.sort + segmented scan (which
+            # also took minutes of XLA compile at width 128).
+            live = total > NEG / 2                      # beam-level
+            hj = ((ph1[:, :, None] == h1[:, None, :])   # (B, Wr, Wq)
+                  & (ph2[:, :, None] == h2[:, None, :])
+                  & (last[:, :, None] >= 0)
+                  & live[:, :, None] & live[:, None, :])
+            # E[b, r, q] = ext[b, q, last_r] — the one extend score that
+            # could merge into stay r from parent q. Built as C unrolled
+            # class selects: a (B, W, W) take_along_axis gather here is
+            # pathologically slow on TPU, while C vectorized selects cost
+            # ~C*W^2 VPU ops and stay exact.
+            e_at = jnp.full((b_dim, w, w), NEG)
+            for c in range(c_dim):
+                if c == blank:
+                    continue
+                e_at = jnp.where(last[:, :, None] == c,
+                                 ext[:, None, :, c], e_at)
+            absorbed = jnp.max(jnp.where(hj, e_at, NEG), axis=2)
+            merged_nb = jnp.logaddexp(stay_nb, absorbed)
+            # kill matched extends: killed[b, q, c] = any_r hj & last_r=c
+            # (one small MXU matmul instead of a scatter)
+            onehot = (jax.nn.one_hot(jnp.maximum(last, 0), c_dim,
+                                     dtype=jnp.float32)
+                      * (last >= 0)[..., None].astype(jnp.float32))
+            killed = jnp.einsum("brq,brc->bqc", hj.astype(jnp.float32),
+                                onehot) > 0.5
+            ext_m = jnp.where(killed, NEG, ext)
+
+            cand_total = jnp.concatenate(
+                [jnp.logaddexp(stay_b, merged_nb),
+                 ext_m.reshape(b_dim, -1)], 1)
+            top_scores, top_idx = _top_k(cand_total, w)
+            sel_stay = top_idx < w
+            pclip = jnp.minimum(top_idx, w - 1)
+            eclip = jnp.clip(top_idx - w, 0, w * c_dim - 1)
             char = jnp.where(sel_stay, -1,
-                             (sel - w) % c_dim).astype(jnp.int32)
-            parent = jnp.where(sel_stay, sel, (sel - w) // c_dim)
-            new_last = jnp.where(char >= 0, char,
-                                 jnp.take_along_axis(last, parent, axis=1))
+                             (top_idx - w) % c_dim).astype(jnp.int32)
+            parent = jnp.where(sel_stay, top_idx, (top_idx - w) // c_dim)
+            gstay = lambda a: jnp.take_along_axis(a, pclip, axis=1)
+            gext = lambda a: jnp.take_along_axis(a.reshape(b_dim, -1),
+                                                 eclip, axis=1)
+            new_p_b = jnp.where(sel_stay, gstay(stay_b), NEG)
+            new_p_nb = jnp.where(sel_stay, gstay(merged_nb), gext(ext_m))
+            new_last = jnp.where(sel_stay, gstay(last), char)
+            new_h1 = jnp.where(sel_stay, gstay(h1), gext(ext_h1))
+            new_h2 = jnp.where(sel_stay, gstay(h2), gext(ext_h2))
+            # an extend's parent-prefix hash is its parent's full hash
+            par_h1 = jnp.take_along_axis(h1, parent, axis=1)
+            par_h2 = jnp.take_along_axis(h2, parent, axis=1)
+            new_ph1 = jnp.where(sel_stay, gstay(ph1), par_h1)
+            new_ph2 = jnp.where(sel_stay, gstay(ph2), par_h2)
         else:
             # extends carry no blank mass, so pool totals are just
             # [logaddexp(stay_b, stay_nb) | ext]; payloads reconstruct from
             # the winning pool indices like the merge branch above
             cand_total = jnp.concatenate(
                 [jnp.logaddexp(stay_b, stay_nb), ext.reshape(b_dim, -1)], 1)
-            top_scores, top_idx = jax.lax.top_k(cand_total, w)
+            top_scores, top_idx = _top_k(cand_total, w)
             is_stay = top_idx < w
             pclip = jnp.minimum(top_idx, w - 1)
             eclip = jnp.clip(top_idx - w, 0, w * c_dim - 1)
@@ -230,14 +253,19 @@ def _beam_scan(log_probs: jnp.ndarray, sizes: jnp.ndarray, beam_width: int,
             new_last = jnp.where(is_stay, gstay(last), char)
             new_h1 = jnp.where(is_stay, gstay(h1), gext(ext_h1))
             new_h2 = jnp.where(is_stay, gstay(h2), gext(ext_h2))
+            par_h1 = jnp.take_along_axis(h1, parent, axis=1)
+            par_h2 = jnp.take_along_axis(h2, parent, axis=1)
+            new_ph1 = jnp.where(is_stay, gstay(ph1), par_h1)
+            new_ph2 = jnp.where(is_stay, gstay(ph2), par_h2)
 
         # dead beams must not alias live prefixes, and must carry NO mass:
-        # top-k filler slots are run-interior positions whose (m_b, m_nb)
-        # hold real PARTIAL run sums — left alive they would duplicate
-        # their prefix's mass under a different hash
+        # left alive, a filler slot would shadow a real prefix (or match
+        # the join) under a stale hash
         dead = top_scores <= NEG / 2
         new_h1 = jnp.where(dead, -(slot_iota + 2), new_h1)
         new_h2 = jnp.where(dead, -(slot_iota + 2), new_h2)
+        new_ph1 = jnp.where(dead, -(slot_iota + 2), new_ph1)
+        new_ph2 = jnp.where(dead, -(slot_iota + 2), new_ph2)
         new_p_b = jnp.where(dead, NEG, new_p_b)
         new_p_nb = jnp.where(dead, NEG, new_p_nb)
 
@@ -277,6 +305,8 @@ def _beam_scan(log_probs: jnp.ndarray, sizes: jnp.ndarray, beam_width: int,
         last = jnp.where(act, new_last, last)
         h1 = jnp.where(act, new_h1, h1)
         h2 = jnp.where(act, new_h2, h2)
+        ph1 = jnp.where(act, new_ph1, ph1)
+        ph2 = jnp.where(act, new_ph2, ph2)
         lm_state = (jnp.where(act, new_cur1, cur1),
                     jnp.where(act, new_cur2, cur2),
                     jnp.where(act[..., None], new_ctx, ctx),
@@ -284,10 +314,11 @@ def _beam_scan(log_probs: jnp.ndarray, sizes: jnp.ndarray, beam_width: int,
                     jnp.where(act, new_memo, memo))
         bp = jnp.where(act, parent, slot_iota)
         em = jnp.where(act, char, -1)
-        return ((p_b, p_nb, last, h1, h2), lm_state), (bp.astype(jnp.int32), em)
+        return ((p_b, p_nb, last, h1, h2, ph1, ph2), lm_state), (
+            bp.astype(jnp.int32), em)
 
     init = carry0 if carry0 is not None else ((p_b0, p_nb0, last0, h1_0,
-                                               h2_0), lm0)
+                                               h2_0, ph1_0, ph2_0), lm0)
     carry, (backptr, emit) = jax.lax.scan(step, init,
                                           (lp, jnp.arange(t_dim)))
     (p_b, p_nb, *_), lm_state = carry
@@ -437,15 +468,24 @@ class DeviceBeamDecoder:
         rev_chars = np.asarray(rev_d)                    # (T, B, n_best)
         b_dim = rev_chars.shape[1]
 
-        lut = np.array([self.label_map.int_to_char.get(c, "")
-                        for c in range(int(rev_chars.max(initial=0)) + 1)])
+        chars = [self.label_map.int_to_char.get(c, "\x00")
+                 for c in range(int(rev_chars.max(initial=0)) + 1)]
+        ascii_ok = all(len(ch) == 1 and ord(ch) < 128 for ch in chars)
+        if ascii_ok:
+            # bytes fast path: uint8 LUT + tobytes is ~7x faster than
+            # joining numpy unicode scalars across B*W beams
+            lut = np.array([ord(ch) for ch in chars], np.uint8)
+            mk = lambda row: lut[row].tobytes().decode("ascii")
+        else:
+            slut = np.array(chars)
+            mk = lambda row: "".join(slut[row])
         strings: List[List[str]] = []
         offsets: List[List[np.ndarray]] = []
         for i in range(b_dim):
             utt_s, utt_o = [], []
             for p in range(n_best):
                 pos = np.nonzero(rev_chars[:, i, p] >= 0)[0]
-                utt_s.append("".join(lut[rev_chars[pos, i, p]]))
+                utt_s.append(mk(rev_chars[pos, i, p]))
                 utt_o.append(pos.astype(np.int32))
             strings.append(utt_s)
             offsets.append(utt_o)
