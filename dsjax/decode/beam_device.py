@@ -370,6 +370,9 @@ class DeviceBeamDecoder:
     HBM hash tables once and every decode fuses alpha/beta inside the scan
     (reset_params does not rebuild the tables)."""
 
+    # see GreedyDecoder: evaluate() may pass device arrays straight in
+    accepts_device_arrays = True
+
     def __init__(self, labels: Sequence[str], beam_width: int = 16,
                  blank_index: int = 0, lm_path: Optional[str] = None,
                  alpha: float = 0.0, beta: float = 0.0,

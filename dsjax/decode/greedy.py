@@ -46,6 +46,11 @@ class GreedyDecoder:
     likewise (reference: decoder.py:125-142).
     """
 
+    # decode() runs on device: callers may pass jax arrays directly and
+    # skip the host round-trip (workflows.evaluate keeps posteriors on
+    # device for decoders with this flag)
+    accepts_device_arrays = True
+
     def __init__(self, labels: Sequence[str], blank_index: int = 0):
         self.label_map = LabelMap(labels, blank_index)
         self.labels = list(labels)

@@ -132,8 +132,16 @@ def evaluate(cfg: EvalConfig) -> Tuple[float, float]:
     def finish(pending):
         probs, out_lens, batch = pending
         n_real = int(batch.valid_mask.sum()) or batch.size
-        decoded, _ = decoder.decode(np.asarray(probs)[:n_real],
-                                    np.asarray(out_lens)[:n_real])
+        if getattr(decoder, "accepts_device_arrays", False):
+            # device decoder (greedy / device beam): keep posteriors on
+            # device — no host round-trip — and decode the FULL padded
+            # batch so the jitted scan sees one stable shape (pad rows
+            # have zero length and decode to ""); slice on the host
+            decoded, _ = decoder.decode(probs, out_lens)
+            decoded = decoded[:n_real]
+        else:
+            decoded, _ = decoder.decode(np.asarray(probs)[:n_real],
+                                        np.asarray(out_lens)[:n_real])
         refs = target_decoder.convert_to_strings(
             [batch.targets[b, :batch.target_lengths[b]] for b in range(n_real)])
         transcripts = [d[0] for d in decoded]
