@@ -230,11 +230,12 @@ class RecurrentLayer(nn.Module):
         h_sz, g = self.hidden_size, spec.gates
         init = _uniform_init(h_sz)
         # W_hh plus the double-buffered staging must fit VMEM (~16 MB/core).
-        # The backward kernel stages xp/dgates (2x B x gH each, bf16),
-        # y/c/dy (2x B x H bf16) and f32 dh/dc carries — the largest
-        # footprint; estimate it and fall back to the lax.scan path when a
-        # big batch would blow the scoped-vmem budget (measured: B=256 at
-        # H=1024 needs 23.6 MB and fails to compile).
+        # The kernels stage two (2 x B x gH) streams (fwd: xp + saved
+        # gates; bwd: gates + dgates) plus a few (B x H) buffers and
+        # carries; this estimate upper-bounds both, and we fall back to
+        # the lax.scan path when a big batch would blow the scoped-vmem
+        # budget (measured: B=256 at H=1024 needs 23.6 MB and fails to
+        # compile).
         itemsize = jnp.dtype(self.dtype).itemsize
         w_bytes = h_sz * g * h_sz * itemsize
         bwd_staging = b_dim * ((4 * g * h_sz + 6 * h_sz) * itemsize

@@ -2,7 +2,10 @@
 
 Same design as the LSTM kernel (see dsjax/ops/lstm_pallas.py for the VMEM /
 DMA rationale): W_hh pinned in VMEM, per-step activations staged by DMA,
-per-gate matmuls, custom VJP with a recompute reverse scan.
+per-gate matmuls. The forward streams its (r, z, n, hn) gate trajectory to
+HBM; the reverse scan reads it back instead of recomputing h_prev @ W_hh
+(the gates residual replaces the xp residual, and r rides along for the
+dW reduction instead of being a separate backward output).
 
 GRU semantics match torch (gate order r, z, n; reference model.py uses
 nn.GRU via RNNType, enums.py:18-21):
@@ -12,10 +15,9 @@ nn.GRU via RNNType, enums.py:18-21):
     h' = (1 - z) * n + z * h
 where xp = x @ W_ih + b_ih (hoisted outside) and h-side terms use W_hh+b_hh.
 
-The backward kernel emits dxp (== d gates pre-activation on the x side) and
-the recomputed r trajectory; dW_hh/db_hh reduce outside as one MXU matmul
-with the n-column scaled by r (the only place x-side and h-side gate
-gradients differ).
+The backward kernel emits dxp (== d gates pre-activation on the x side);
+dW_hh/db_hh reduce outside as one MXU matmul with the n-column scaled by
+the saved r (the only place x-side and h-side gate gradients differ).
 """
 
 from __future__ import annotations
@@ -36,8 +38,8 @@ Array = jax.Array
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(xp_hbm, mask_ref, w_ref, b_ref, h0_ref,
-                y_hbm, h_out_ref,
-                xp_buf, y_buf, h_scr, in_sem, ysem):
+                y_hbm, h_out_ref, g_seq_hbm,
+                xp_buf, y_buf, g_buf, h_scr, in_sem, ysem, gsem):
     t_dim = xp_hbm.shape[0]
     h_dim = w_ref.shape[0]
     h_scr[:] = h0_ref[:]
@@ -67,9 +69,10 @@ def _fwd_kernel(xp_hbm, mask_ref, w_ref, b_ref, h0_ref,
         def xg(g):
             return xp_buf[slot][:, g * h_dim:(g + 1) * h_dim].astype(jnp.float32)
 
+        hn = hp(2)
         r = jax.nn.sigmoid(xg(0) + hp(0))
         z = jax.nn.sigmoid(xg(1) + hp(1))
-        n = jnp.tanh(xg(2) + r * hp(2))
+        n = jnp.tanh(xg(2) + r * hn)
         h_new = (1 - z) * n + z * h.astype(jnp.float32)
         m = mask_ref[t][:, None].astype(jnp.float32)
         h_keep = m * h_new + (1 - m) * h.astype(jnp.float32)
@@ -79,9 +82,17 @@ def _fwd_kernel(xp_hbm, mask_ref, w_ref, b_ref, h0_ref,
         def _():
             pltpu.make_async_copy(y_buf.at[slot], y_hbm.at[t - n_buf],
                                   ysem.at[slot]).wait()
+            pltpu.make_async_copy(g_buf.at[slot], g_seq_hbm.at[t - n_buf],
+                                  gsem.at[slot]).wait()
 
         y_buf[slot] = (h_new * m).astype(y_buf.dtype)
+        # (r, z, n, hn) stream out for the recompute-free backward
+        g_buf[slot, :, 0 * h_dim:1 * h_dim] = r.astype(g_buf.dtype)
+        g_buf[slot, :, 1 * h_dim:2 * h_dim] = z.astype(g_buf.dtype)
+        g_buf[slot, :, 2 * h_dim:3 * h_dim] = n.astype(g_buf.dtype)
+        g_buf[slot, :, 3 * h_dim:4 * h_dim] = hn.astype(g_buf.dtype)
         pltpu.make_async_copy(y_buf.at[slot], y_hbm.at[t], ysem.at[slot]).start()
+        pltpu.make_async_copy(g_buf.at[slot], g_seq_hbm.at[t], gsem.at[slot]).start()
         return 0
 
     jax.lax.fori_loop(0, t_dim, step, 0)
@@ -90,6 +101,7 @@ def _fwd_kernel(xp_hbm, mask_ref, w_ref, b_ref, h0_ref,
         t = t_dim - 1 - i
         slot = jax.lax.rem(t, n_buf)
         pltpu.make_async_copy(y_buf.at[slot], y_hbm.at[t], ysem.at[slot]).wait()
+        pltpu.make_async_copy(g_buf.at[slot], g_seq_hbm.at[t], gsem.at[slot]).wait()
         return 0
 
     jax.lax.fori_loop(0, min(2, t_dim), drain, 0)
@@ -103,18 +115,22 @@ def _gru_fwd_pallas(xp, mask, w_hh, b_hh, h0, interpret):
     return pl.pallas_call(
         _fwd_kernel,
         out_shape=(jax.ShapeDtypeStruct((t_dim, b_dim, h_dim), dtype),
-                   jax.ShapeDtypeStruct((b_dim, h_dim), dtype)),
+                   jax.ShapeDtypeStruct((b_dim, h_dim), dtype),
+                   jax.ShapeDtypeStruct((t_dim, b_dim, 4 * h_dim), dtype)),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=(pl.BlockSpec(memory_space=pl.ANY),
-                   pl.BlockSpec(memory_space=pltpu.VMEM)),
+                   pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pl.ANY)),
         scratch_shapes=[
             pltpu.VMEM((2, b_dim, g3), dtype),
             pltpu.VMEM((2, b_dim, h_dim), dtype),
+            pltpu.VMEM((2, b_dim, 4 * h_dim), dtype),   # gates staging
             pltpu.VMEM((b_dim, h_dim), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -126,24 +142,24 @@ def _gru_fwd_pallas(xp, mask, w_hh, b_hh, h0, interpret):
 # backward kernel
 # ---------------------------------------------------------------------------
 
-def _bwd_kernel(xp_hbm, mask_ref, w_ref, b_ref, h0_ref, y_hbm, dy_hbm,
+def _bwd_kernel(g_seq_hbm, mask_ref, w_ref, h0_ref, y_hbm, dy_hbm,
                 dh_T_ref,
-                dxp_hbm, r_hbm, dh0_ref,
-                xp_buf, y_buf, dy_buf, dxp_stage, r_stage, dh_scr,
-                xsem, ysem, dysem, dxsem, rsem):
-    t_dim = xp_hbm.shape[0]
+                dxp_hbm, dh0_ref,
+                g_buf, y_buf, dy_buf, dxp_stage, dh_scr,
+                gsem, ysem, dysem, dxsem):
+    t_dim = g_seq_hbm.shape[0]
     h_dim = w_ref.shape[0]
     dh_scr[:] = dh_T_ref[:].astype(jnp.float32)
     n_buf = 2
 
     def start_loads(t, slot):
         tm1 = jnp.maximum(t - 1, 0)
-        pltpu.make_async_copy(xp_hbm.at[t], xp_buf.at[slot], xsem.at[slot]).start()
+        pltpu.make_async_copy(g_seq_hbm.at[t], g_buf.at[slot], gsem.at[slot]).start()
         pltpu.make_async_copy(dy_hbm.at[t], dy_buf.at[slot], dysem.at[slot]).start()
         pltpu.make_async_copy(y_hbm.at[tm1], y_buf.at[slot], ysem.at[slot]).start()
 
     def wait_loads(slot):
-        for buf, sem in ((xp_buf, xsem), (dy_buf, dysem), (y_buf, ysem)):
+        for buf, sem in ((g_buf, gsem), (dy_buf, dysem), (y_buf, ysem)):
             pltpu.make_async_copy(buf.at[slot], buf.at[slot], sem.at[slot]).wait()
 
     start_loads(t_dim - 1, (t_dim - 1) % n_buf)
@@ -160,18 +176,12 @@ def _bwd_kernel(xp_hbm, mask_ref, w_ref, b_ref, h0_ref, y_hbm, dy_hbm,
         h_prev = jnp.where(t == 0, h0_ref[:], y_buf[slot])
         hp32 = h_prev.astype(jnp.float32)
 
-        def hp(g):
-            z = jnp.dot(h_prev, w_ref[:, g * h_dim:(g + 1) * h_dim],
-                        preferred_element_type=jnp.float32)
-            return z + b_ref[g * h_dim:(g + 1) * h_dim].astype(jnp.float32)
-
-        def xg(g):
-            return xp_buf[slot][:, g * h_dim:(g + 1) * h_dim].astype(jnp.float32)
-
-        hn = hp(2)
-        r = jax.nn.sigmoid(xg(0) + hp(0))
-        z = jax.nn.sigmoid(xg(1) + hp(1))
-        n = jnp.tanh(xg(2) + r * hn)
+        # gates saved by the forward — no h_prev @ W recompute
+        gb = g_buf[slot]
+        r = gb[:, 0 * h_dim:1 * h_dim].astype(jnp.float32)
+        z = gb[:, 1 * h_dim:2 * h_dim].astype(jnp.float32)
+        n = gb[:, 2 * h_dim:3 * h_dim].astype(jnp.float32)
+        hn = gb[:, 3 * h_dim:4 * h_dim].astype(jnp.float32)
 
         m = mask_ref[t][:, None].astype(jnp.float32)
         dh_acc = dh_scr[:] + dy_buf[slot].astype(jnp.float32) * m
@@ -190,15 +200,11 @@ def _bwd_kernel(xp_hbm, mask_ref, w_ref, b_ref, h0_ref, y_hbm, dy_hbm,
             t_old = t + n_buf
             pltpu.make_async_copy(dxp_stage.at[slot], dxp_hbm.at[t_old],
                                   dxsem.at[slot]).wait()
-            pltpu.make_async_copy(r_stage.at[slot], r_hbm.at[t_old],
-                                  rsem.at[slot]).wait()
 
         dxp_stage[slot, :, 0:h_dim] = dr_pre.astype(dxp_stage.dtype)
         dxp_stage[slot, :, h_dim:2 * h_dim] = dz_pre.astype(dxp_stage.dtype)
         dxp_stage[slot, :, 2 * h_dim:3 * h_dim] = dn_pre.astype(dxp_stage.dtype)
-        r_stage[slot] = r.astype(r_stage.dtype)
         pltpu.make_async_copy(dxp_stage.at[slot], dxp_hbm.at[t], dxsem.at[slot]).start()
-        pltpu.make_async_copy(r_stage.at[slot], r_hbm.at[t], rsem.at[slot]).start()
 
         dh_prev = dh_new * z
         for g, dgate in enumerate((dr_pre, dz_pre, dhn)):
@@ -213,24 +219,22 @@ def _bwd_kernel(xp_hbm, mask_ref, w_ref, b_ref, h0_ref, y_hbm, dy_hbm,
     def drain(j, _):
         slot = jax.lax.rem(j, n_buf)
         pltpu.make_async_copy(dxp_stage.at[slot], dxp_hbm.at[j], dxsem.at[slot]).wait()
-        pltpu.make_async_copy(r_stage.at[slot], r_hbm.at[j], rsem.at[slot]).wait()
         return 0
 
     jax.lax.fori_loop(0, min(2, t_dim), drain, 0)
     dh0_ref[:] = dh_scr[:].astype(dh0_ref.dtype)
 
 
-def _gru_bwd_pallas(xp, mask, w_hh, b_hh, h0, y, dy, dh_T, interpret):
-    t_dim, b_dim, g3 = xp.shape
+def _gru_bwd_pallas(g_seq, mask, w_hh, h0, y, dy, dh_T, interpret):
+    t_dim, b_dim, g4 = g_seq.shape
     h_dim = w_hh.shape[0]
-    dtype = xp.dtype
+    g3 = 3 * h_dim
+    dtype = g_seq.dtype
     return pl.pallas_call(
         _bwd_kernel,
         out_shape=(jax.ShapeDtypeStruct((t_dim, b_dim, g3), dtype),   # dxp
-                   jax.ShapeDtypeStruct((t_dim, b_dim, h_dim), dtype),  # r traj
                    jax.ShapeDtypeStruct((b_dim, h_dim), dtype)),      # dh0
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
-                  pl.BlockSpec(memory_space=pltpu.VMEM),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),      # gates
                   pl.BlockSpec(memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -238,23 +242,20 @@ def _gru_bwd_pallas(xp, mask, w_hh, b_hh, h0, y, dy, dh_T, interpret):
                   pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=(pl.BlockSpec(memory_space=pl.ANY),
-                   pl.BlockSpec(memory_space=pl.ANY),
                    pl.BlockSpec(memory_space=pltpu.VMEM)),
         scratch_shapes=[
-            pltpu.VMEM((2, b_dim, g3), dtype),       # xp staging
+            pltpu.VMEM((2, b_dim, g4), dtype),       # gates staging
             pltpu.VMEM((2, b_dim, h_dim), dtype),    # y staging
             pltpu.VMEM((2, b_dim, h_dim), dtype),    # dy staging
             pltpu.VMEM((2, b_dim, g3), dtype),       # dxp staging
-            pltpu.VMEM((2, b_dim, h_dim), dtype),    # r staging
             pltpu.VMEM((b_dim, h_dim), jnp.float32), # dh carry
-            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(xp, mask, w_hh, b_hh, h0, y, dy, dh_T)
+    )(g_seq, mask, w_hh, h0, y, dy, dh_T)
 
 
 # ---------------------------------------------------------------------------
@@ -265,24 +266,28 @@ def _gru_bwd_pallas(xp, mask, w_hh, b_hh, h0, y, dy, dh_T, interpret):
 def gru_scan(xp: Array, mask: Array, w_hh: Array, b_hh: Array, h0: Array,
              interpret: bool = False) -> Tuple[Array, Array]:
     """Masked GRU recurrence over time. Returns (y, h_T)."""
-    return _gru_fwd_pallas(xp, mask, w_hh, b_hh, h0, interpret)
+    y, h_t, _ = _gru_fwd_pallas(xp, mask, w_hh, b_hh, h0, interpret)
+    return y, h_t
 
 
 def _vjp_fwd(xp, mask, w_hh, b_hh, h0, interpret):
-    y, h_t = _gru_fwd_pallas(xp, mask, w_hh, b_hh, h0, interpret)
-    return (y, h_t), (xp, mask, w_hh, b_hh, h0, y)
+    y, h_t, g_seq = _gru_fwd_pallas(xp, mask, w_hh, b_hh, h0, interpret)
+    # the gates residual replaces xp (4H vs 3H — the r trajectory the old
+    # backward emitted separately now rides along inside it)
+    return (y, h_t), (g_seq, mask, w_hh, b_hh, h0, y)
 
 
 def _vjp_bwd(interpret, residuals, cotangents):
-    xp, mask, w_hh, b_hh, h0, y = residuals
+    g_seq, mask, w_hh, b_hh, h0, y = residuals
     dy, dh_T = cotangents
-    dxp, r_traj, dh0 = _gru_bwd_pallas(
-        xp, mask, w_hh, b_hh, h0, y, dy.astype(xp.dtype),
+    dxp, dh0 = _gru_bwd_pallas(
+        g_seq, mask, w_hh, h0, y, dy.astype(g_seq.dtype),
         dh_T.astype(h0.dtype), interpret)
     t_dim, b_dim, g3 = dxp.shape
     h_dim = w_hh.shape[0]
     # h-side gate grads: same as dxp except the n column scales by r
     dxp32 = dxp.astype(jnp.float32)
+    r_traj = g_seq[:, :, 0:h_dim]
     dhp = jnp.concatenate(
         [dxp32[:, :, : 2 * h_dim],
          dxp32[:, :, 2 * h_dim:] * r_traj.astype(jnp.float32)], axis=-1)

@@ -18,11 +18,15 @@ Returns (y (T, B, H) masked outputs, h_T, c_T); the carry freezes at each
 sequence's true end (chunked-streaming semantics, reference
 inference.py:86-96).
 
-Backward: custom VJP. A reverse-scan Pallas kernel re-materializes gates
-from the saved (y, c) trajectories (recompute beats storing (T, B, 4H)
-activations) and emits dgates; dgates IS dxp, and dW/db reduce outside the
-kernel as one large MXU matmul over (T*B) rows — keeping the kernel's VMEM
-footprint to W plus small staging buffers. Gradient parity is tested against
+Backward: custom VJP. The forward kernel streams the POST-activation gates
+(i, f, g, o — (T, B, 4H), xp's dtype) to HBM alongside y and the c
+trajectory; the reverse-scan kernel reads them back instead of recomputing
+h_prev @ W_hh, which removes one full recurrent-matmul pass from the
+backward (measured: the recompute was ~1/3 of backward step FLOPs).
+Memory is NET NEUTRAL: the gates residual replaces the xp residual (same
+shape/dtype), and the backward kernel no longer loads xp OR y at all. The
+kernel emits dgates; dgates IS dxp, and dW/db reduce outside the kernel as
+one large MXU matmul over (T*B) rows. Gradient parity is tested against
 jax.grad of the lax.scan reference implementation.
 """
 
@@ -56,9 +60,9 @@ def _cell_f32(gates, c_prev):
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(xp_hbm, mask_ref, w_ref, b_ref, h0_ref, c0_ref,
-                y_hbm, h_out_ref, c_out_ref, c_seq_hbm,
-                xp_buf, y_buf, c_buf, h_scr, c_scr,
-                in_sem, ysem, csem):
+                y_hbm, h_out_ref, c_out_ref, c_seq_hbm, g_seq_hbm,
+                xp_buf, y_buf, c_buf, g_buf, h_scr, c_scr,
+                in_sem, ysem, csem, gsem):
     t_dim = xp_hbm.shape[0]
     h_dim = w_ref.shape[0]
     h_scr[:] = h0_ref[:]
@@ -112,11 +116,19 @@ def _fwd_kernel(xp_hbm, mask_ref, w_ref, b_ref, h0_ref, c0_ref,
                                   ysem.at[slot]).wait()
             pltpu.make_async_copy(c_buf.at[slot], c_seq_hbm.at[t - n_buf],
                                   csem.at[slot]).wait()
+            pltpu.make_async_copy(g_buf.at[slot], g_seq_hbm.at[t - n_buf],
+                                  gsem.at[slot]).wait()
 
         y_buf[slot] = (h_new * m).astype(y_buf.dtype)
         c_buf[slot] = c_keep.astype(c_buf.dtype)
+        # post-activation gates stream out for the recompute-free backward
+        g_buf[slot, :, 0 * h_dim:1 * h_dim] = i_s.astype(g_buf.dtype)
+        g_buf[slot, :, 1 * h_dim:2 * h_dim] = f_s.astype(g_buf.dtype)
+        g_buf[slot, :, 2 * h_dim:3 * h_dim] = g_t.astype(g_buf.dtype)
+        g_buf[slot, :, 3 * h_dim:4 * h_dim] = o_s.astype(g_buf.dtype)
         pltpu.make_async_copy(y_buf.at[slot], y_hbm.at[t], ysem.at[slot]).start()
         pltpu.make_async_copy(c_buf.at[slot], c_seq_hbm.at[t], csem.at[slot]).start()
+        pltpu.make_async_copy(g_buf.at[slot], g_seq_hbm.at[t], gsem.at[slot]).start()
         return 0
 
     jax.lax.fori_loop(0, t_dim, step, 0)
@@ -130,6 +142,7 @@ def _fwd_kernel(xp_hbm, mask_ref, w_ref, b_ref, h0_ref, c0_ref,
             slot = jax.lax.rem(t, n_buf)
             pltpu.make_async_copy(y_buf.at[slot], y_hbm.at[t], ysem.at[slot]).wait()
             pltpu.make_async_copy(c_buf.at[slot], c_seq_hbm.at[t], csem.at[slot]).wait()
+            pltpu.make_async_copy(g_buf.at[slot], g_seq_hbm.at[t], gsem.at[slot]).wait()
         return 0
 
     jax.lax.fori_loop(0, n_buf, drain, 0)
@@ -148,6 +161,7 @@ def _lstm_fwd_pallas(xp: Array, mask: Array, w_hh: Array, b_hh: Array,
         jax.ShapeDtypeStruct((b_dim, h_dim), dtype),          # h_T
         jax.ShapeDtypeStruct((b_dim, h_dim), dtype),          # c_T
         jax.ShapeDtypeStruct((t_dim, b_dim, h_dim), dtype),   # c trajectory
+        jax.ShapeDtypeStruct((t_dim, b_dim, g4), dtype),      # gates i,f,g,o
     )
     return pl.pallas_call(
         _fwd_kernel,
@@ -165,13 +179,16 @@ def _lstm_fwd_pallas(xp: Array, mask: Array, w_hh: Array, b_hh: Array,
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ),
         scratch_shapes=[
             pltpu.VMEM((2, b_dim, g4), dtype),        # xp staging
             pltpu.VMEM((2, b_dim, h_dim), dtype),     # y staging
             pltpu.VMEM((2, b_dim, h_dim), dtype),     # c staging
+            pltpu.VMEM((2, b_dim, g4), dtype),        # gates staging
             pltpu.VMEM((b_dim, h_dim), dtype),        # h carry
             pltpu.VMEM((b_dim, h_dim), dtype),        # c carry
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -184,28 +201,26 @@ def _lstm_fwd_pallas(xp: Array, mask: Array, w_hh: Array, b_hh: Array,
 # backward kernel: reverse scan emitting dgates (== dxp)
 # ---------------------------------------------------------------------------
 
-def _bwd_kernel(xp_hbm, mask_ref, w_ref, b_ref, h0_ref, c0_ref,
-                y_hbm, c_seq_hbm, dy_hbm, dh_T_ref, dc_T_ref,
+def _bwd_kernel(g_seq_hbm, mask_ref, w_ref, c0_ref,
+                c_seq_hbm, dy_hbm, dh_T_ref, dc_T_ref,
                 dg_hbm, dh0_ref, dc0_ref,
-                xp_buf, y_buf, c_buf, dy_buf, dg_buf,
+                g_buf, c_buf, dy_buf, dg_buf,
                 dh_scr, dc_scr,
-                xsem, ysem, csem, dysem, dgsem):
-    t_dim = xp_hbm.shape[0]
+                gsem, csem, dysem, dgsem):
+    t_dim = g_seq_hbm.shape[0]
     dh_scr[:] = dh_T_ref[:].astype(jnp.float32)
     dc_scr[:] = dc_T_ref[:].astype(jnp.float32)
     n_buf = 2
 
     def start_loads(t, slot):
         tm1 = jnp.maximum(t - 1, 0)
-        pltpu.make_async_copy(xp_hbm.at[t], xp_buf.at[slot], xsem.at[slot]).start()
+        pltpu.make_async_copy(g_seq_hbm.at[t], g_buf.at[slot], gsem.at[slot]).start()
         pltpu.make_async_copy(dy_hbm.at[t], dy_buf.at[slot], dysem.at[slot]).start()
-        # previous-step trajectories (garbage at t=0; selected out below)
-        pltpu.make_async_copy(y_hbm.at[tm1], y_buf.at[slot], ysem.at[slot]).start()
+        # previous-step c trajectory (garbage at t=0; selected out below)
         pltpu.make_async_copy(c_seq_hbm.at[tm1], c_buf.at[slot], csem.at[slot]).start()
 
     def wait_loads(slot):
-        for buf, sem in ((xp_buf, xsem), (dy_buf, dysem), (y_buf, ysem),
-                         (c_buf, csem)):
+        for buf, sem in ((g_buf, gsem), (dy_buf, dysem), (c_buf, csem)):
             pltpu.make_async_copy(buf.at[slot], buf.at[slot], sem.at[slot]).wait()
 
     start_loads(t_dim - 1, (t_dim - 1) % n_buf)
@@ -221,21 +236,16 @@ def _bwd_kernel(xp_hbm, mask_ref, w_ref, b_ref, h0_ref, c0_ref,
         wait_loads(slot)
 
         is_first = (t == 0)
-        h_prev = jnp.where(is_first, h0_ref[:], y_buf[slot])
         cp = jnp.where(is_first, c0_ref[:], c_buf[slot]).astype(jnp.float32)
         h_dim = w_ref.shape[0]
 
-        # per-gate recompute (see forward kernel for the VMEM rationale)
-        def gate(g):
-            z = jnp.dot(h_prev, w_ref[:, g * h_dim:(g + 1) * h_dim],
-                        preferred_element_type=jnp.float32)
-            return (z + xp_buf[slot][:, g * h_dim:(g + 1) * h_dim].astype(jnp.float32)
-                    + b_ref[g * h_dim:(g + 1) * h_dim].astype(jnp.float32))
-
-        i_s = jax.nn.sigmoid(gate(0))
-        f_s = jax.nn.sigmoid(gate(1))
-        g_t = jnp.tanh(gate(2))
-        o_s = jax.nn.sigmoid(gate(3))
+        # the forward streamed out its post-activation gates — no
+        # h_prev @ W recompute (and no xp / y loads) in the backward
+        gb = g_buf[slot]
+        i_s = gb[:, 0 * h_dim:1 * h_dim].astype(jnp.float32)
+        f_s = gb[:, 1 * h_dim:2 * h_dim].astype(jnp.float32)
+        g_t = gb[:, 2 * h_dim:3 * h_dim].astype(jnp.float32)
+        o_s = gb[:, 3 * h_dim:4 * h_dim].astype(jnp.float32)
         c_new = f_s * cp + i_s * g_t
         tanh_c = jnp.tanh(c_new)
 
@@ -290,11 +300,11 @@ def _bwd_kernel(xp_hbm, mask_ref, w_ref, b_ref, h0_ref, c0_ref,
     dc0_ref[:] = dc_scr[:].astype(dc0_ref.dtype)
 
 
-def _lstm_bwd_pallas(xp, mask, w_hh, b_hh, h0, c0, y, c_seq, dy, dh_T, dc_T,
+def _lstm_bwd_pallas(g_seq, mask, w_hh, c0, c_seq, dy, dh_T, dc_T,
                      interpret):
-    t_dim, b_dim, g4 = xp.shape
+    t_dim, b_dim, g4 = g_seq.shape
     h_dim = w_hh.shape[0]
-    dtype = xp.dtype
+    dtype = g_seq.dtype
     out_shapes = (
         jax.ShapeDtypeStruct((t_dim, b_dim, g4), dtype),        # dgates
         jax.ShapeDtypeStruct((b_dim, h_dim), dtype),            # dh0
@@ -303,13 +313,10 @@ def _lstm_bwd_pallas(xp, mask, w_hh, b_hh, h0, c0, y, c_seq, dy, dh_T, dc_T,
     return pl.pallas_call(
         _bwd_kernel,
         out_shape=out_shapes,
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY),    # xp
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),    # gates
                   pl.BlockSpec(memory_space=pltpu.VMEM),   # mask
                   pl.BlockSpec(memory_space=pltpu.VMEM),   # w
-                  pl.BlockSpec(memory_space=pltpu.VMEM),   # b
-                  pl.BlockSpec(memory_space=pltpu.VMEM),   # h0
                   pl.BlockSpec(memory_space=pltpu.VMEM),   # c0
-                  pl.BlockSpec(memory_space=pl.ANY),    # y
                   pl.BlockSpec(memory_space=pl.ANY),    # c_seq
                   pl.BlockSpec(memory_space=pl.ANY),    # dy
                   pl.BlockSpec(memory_space=pltpu.VMEM),   # dh_T
@@ -318,8 +325,7 @@ def _lstm_bwd_pallas(xp, mask, w_hh, b_hh, h0, c0, y, c_seq, dy, dh_T, dc_T,
                    pl.BlockSpec(memory_space=pltpu.VMEM),
                    pl.BlockSpec(memory_space=pltpu.VMEM)),
         scratch_shapes=[
-            pltpu.VMEM((2, b_dim, g4), dtype),          # xp staging
-            pltpu.VMEM((2, b_dim, h_dim), dtype),       # y staging
+            pltpu.VMEM((2, b_dim, g4), dtype),          # gates staging
             pltpu.VMEM((2, b_dim, h_dim), dtype),       # c staging
             pltpu.VMEM((2, b_dim, h_dim), dtype),       # dy staging
             pltpu.VMEM((2, b_dim, g4), dtype),          # dgates staging
@@ -329,10 +335,9 @@ def _lstm_bwd_pallas(xp, mask, w_hh, b_hh, h0, c0, y, c_seq, dy, dh_T, dc_T,
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(xp, mask, w_hh, b_hh, h0, c0, y, c_seq, dy, dh_T, dc_T)
+    )(g_seq, mask, w_hh, c0, c_seq, dy, dh_T, dc_T)
 
 
 # ---------------------------------------------------------------------------
@@ -344,23 +349,26 @@ def lstm_scan(xp: Array, mask: Array, w_hh: Array, b_hh: Array,
               h0: Array, c0: Array, interpret: bool = False
               ) -> Tuple[Array, Array, Array]:
     """Masked LSTM recurrence over time. Returns (y, h_T, c_T)."""
-    y, h_t, c_t, _ = _lstm_fwd_pallas(xp, mask, w_hh, b_hh, h0, c0, interpret)
+    y, h_t, c_t, _, _ = _lstm_fwd_pallas(xp, mask, w_hh, b_hh, h0, c0,
+                                         interpret)
     return y, h_t, c_t
 
 
 def _vjp_fwd(xp, mask, w_hh, b_hh, h0, c0, interpret):
-    y, h_t, c_t, c_seq = _lstm_fwd_pallas(xp, mask, w_hh, b_hh, h0, c0, interpret)
-    residuals = (xp, mask, w_hh, b_hh, h0, c0, y, c_seq)
+    y, h_t, c_t, c_seq, g_seq = _lstm_fwd_pallas(xp, mask, w_hh, b_hh, h0, c0,
+                                                 interpret)
+    # the gates residual REPLACES xp (same shape/dtype): memory-neutral
+    residuals = (g_seq, mask, w_hh, b_hh, h0, c0, y, c_seq)
     return (y, h_t, c_t), residuals
 
 
 def _vjp_bwd(interpret, residuals, cotangents):
-    xp, mask, w_hh, b_hh, h0, c0, y, c_seq = residuals
+    g_seq, mask, w_hh, b_hh, h0, c0, y, c_seq = residuals
     dy, dh_T, dc_T = cotangents
     dgates, dh0, dc0 = _lstm_bwd_pallas(
-        xp, mask, w_hh, b_hh, h0, c0, y, c_seq,
-        dy.astype(xp.dtype), dh_T.astype(h0.dtype), dc_T.astype(c0.dtype),
-        interpret)
+        g_seq, mask, w_hh, c0,
+        c_seq, dy.astype(g_seq.dtype), dh_T.astype(h0.dtype),
+        dc_T.astype(c0.dtype), interpret)
     # dW/db as ONE large MXU reduction over (T*B) rows; h_prev sequence is
     # (h0, y[:-1]) — y equals the carried h at every step where dgates != 0.
     t_dim, b_dim, g4 = dgates.shape
@@ -370,7 +378,7 @@ def _vjp_bwd(interpret, residuals, cotangents):
         dgates.reshape(t_dim * b_dim, g4),
         (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
     db = jnp.sum(dgates.astype(jnp.float32), axis=(0, 1))
-    dxp = dgates.astype(xp.dtype)
+    dxp = dgates.astype(g_seq.dtype)
     return (dxp, None, dw.astype(w_hh.dtype), db.astype(b_hh.dtype),
             dh0, dc0)
 
