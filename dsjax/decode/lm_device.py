@@ -125,22 +125,33 @@ def _build_table(k1: np.ndarray, k2: np.ndarray, v0: np.ndarray,
 
 @register_pytree_node_class
 class PackedLM:
-    """Pytree of packed LM tables; order/unk_logp/depths are static aux."""
+    """Pytree of the device LM; order/unk_logp/offsets are static aux.
+
+    ``ngrams`` holds ALL n-gram tables concatenated into ONE (S_total, 4)
+    uint32 array, with static per-table base offsets / index masks /
+    probe depths — so the per-step Katz-backoff scoring is ONE row
+    gather covering every n-gram probe of every beam (the vocab probe
+    stays separate: its result, the word id, feeds the n-gram keys)."""
 
     def __init__(self, order: int, unk_logp: float, vocab: HashTable,
-                 tables):
+                 ngrams, bases, masks, depths):
         self.order = int(order)
         self.unk_logp = float(unk_logp)
         self.vocab = vocab
-        self.tables = tuple(tables)
+        self.ngrams = ngrams
+        self.bases = tuple(bases)
+        self.masks = tuple(masks)
+        self.depths = tuple(depths)
 
     def tree_flatten(self):
-        return (self.vocab, self.tables), (self.order, self.unk_logp)
+        return ((self.vocab, self.ngrams),
+                (self.order, self.unk_logp, self.bases, self.masks,
+                 self.depths))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        vocab, tables = children
-        return cls(aux[0], aux[1], vocab, tables)
+        vocab, ngrams = children
+        return cls(aux[0], aux[1], vocab, ngrams, aux[2], aux[3], aux[4])
 
 
 class DeviceNgramLM:
@@ -203,11 +214,22 @@ class DeviceNgramLM:
                 np.asarray(logps, np.float32), np.asarray(boffs, np.float32)))
 
     def device(self) -> PackedLM:
+        import numpy as _np
+
         import jax.numpy as jnp
 
-        put = lambda t: HashTable(jnp.asarray(t.data), t.depth)
-        return PackedLM(self.order, self.unk_logp, put(self.vocab),
-                        [put(t) for t in self.tables])
+        bases, off = [], 0
+        for t in self.tables:
+            bases.append(off)
+            off += len(t.data)
+        packed = jnp.asarray(_np.concatenate([t.data for t in self.tables],
+                                             axis=0))
+        return PackedLM(self.order, self.unk_logp,
+                        HashTable(jnp.asarray(self.vocab.data),
+                                  self.vocab.depth),
+                        packed, bases,
+                        [t.mask for t in self.tables],
+                        [t.depth for t in self.tables])
 
 
 # ----------------------------------------------------------------------
@@ -265,10 +287,39 @@ def vocab_lookup(lm: PackedLM, cur1, cur2):
     return jnp.where(found, vid.astype(jnp.int32), WID_OOV)
 
 
-def _ngram(lm: PackedLM, ids_list):
-    k1, k2, valid = _fold_ids_jnp(ids_list)
-    found, logp, boff = _probe(lm.tables[len(ids_list) - 1], k1, k2)
-    return found & valid, logp, boff
+def _probe_packed(lm: PackedLM, probes):
+    """Run many n-gram probes as ONE row gather of the packed table.
+
+    probes: list of (table_idx, k1, k2, valid) with a STATIC table index
+    per probe; k1/k2/valid share a batch shape. Returns a list of
+    (found, val0, val1) per probe. XLA gathers have a large fixed cost on
+    TPU, so folding the 2*order-1 per-step probes into a single gather is
+    ~Jx cheaper than J separate table gathers."""
+    import jax.numpy as jnp
+
+    dmax = max(lm.depths[ti] for ti, *_ in probes)
+    offs = jnp.arange(dmax, dtype=jnp.uint32)
+    slots = []
+    for ti, k1, k2, _ in probes:
+        mask = jnp.uint32(lm.masks[ti])
+        idx = ((k1 * MIX1) ^ (k2 * MIX2)) & mask
+        sl = (((idx[..., None] + offs) & mask).astype(jnp.int32)
+              + lm.bases[ti])
+        slots.append(sl)
+    slots = jnp.stack(slots, axis=-2)              # (..., J, Dmax)
+    rows = lm.ngrams[slots]                        # (..., J, Dmax, 4)
+    out = []
+    for j, (ti, k1, k2, valid) in enumerate(probes):
+        r = rows[..., j, :, :]
+        hit = ((r[..., 0] == k1[..., None]) & (r[..., 1] == k2[..., None])
+               & (offs < lm.depths[ti]))
+        found = hit.any(-1) & valid
+        # at most one hit per window (keys are unique per table): a
+        # masked sum selects it without an argmax+gather
+        pick = lambda v: jnp.sum(jnp.where(hit, v, 0.0), axis=-1)
+        out.append((found, pick(jax_bitcast_f32(r[..., 2])),
+                    pick(jax_bitcast_f32(r[..., 3]))))
+    return out
 
 
 def score_word_ln(lm: PackedLM, cur1, cur2, ctx):
@@ -280,12 +331,21 @@ def score_word_ln(lm: PackedLM, cur1, cur2, ctx):
     import jax.numpy as jnp
 
     wid = vocab_lookup(lm, cur1, cur2)
-    f1, p1, _ = _ngram(lm, [wid])
-    s = jnp.where(f1, p1, lm.unk_logp)
+    probes = []                                    # table idx is static
+    k1, k2, v = _fold_ids_jnp([wid])
+    probes.append((0, k1, k2, v))
     for n in range(2, lm.order + 1):
         ctx_n = [ctx[..., -(j + 1)] for j in range(n - 2, -1, -1)]
-        cf, _, cb = _ngram(lm, ctx_n)                   # backoff(context)
+        kc1, kc2, vc = _fold_ids_jnp(ctx_n)        # backoff(context)
+        probes.append((n - 2, kc1, kc2, vc))
+        kf1, kf2, vf = _fold_ids_jnp(ctx_n + [wid])
+        probes.append((n - 1, kf1, kf2, vf))
+    res = _probe_packed(lm, probes)
+    f1, p1, _ = res[0]
+    s = jnp.where(f1, p1, lm.unk_logp)
+    for i in range(1, len(res), 2):
+        cf, _, cb = res[i]
+        f, p, _ = res[i + 1]
         bo = jnp.where(cf, cb, 0.0)
-        f, p, _ = _ngram(lm, ctx_n + [wid])
         s = jnp.where(f, p, bo + s)
     return s * LOG10_TO_LN, wid

@@ -88,19 +88,16 @@ def _fwd_kernel(xp_hbm, mask_ref, w_ref, b_ref, h0_ref, c0_ref,
         h = h_scr[:]
         c = c_scr[:]
 
-        # per-gate matmuls keep live f32 temporaries at (B, H) instead of
-        # (B, 4H), fitting VMEM alongside the pinned W
-        def gate(g):
-            z = jnp.dot(h, w_ref[:, g * h_dim:(g + 1) * h_dim],
-                        preferred_element_type=jnp.float32)
-            z = (z + xp_buf[slot][:, g * h_dim:(g + 1) * h_dim].astype(jnp.float32)
-                 + b_ref[g * h_dim:(g + 1) * h_dim].astype(jnp.float32))
-            return z
-
-        i_s = jax.nn.sigmoid(gate(0))
-        f_s = jax.nn.sigmoid(gate(1))
-        g_t = jnp.tanh(gate(2))
-        o_s = jax.nn.sigmoid(gate(3))
+        # one fused (B, H) @ (H, 4H) matmul for all four gates: the f32
+        # temporary is (B, 4H) (1 MB at B=64), well inside VMEM, and one
+        # wide MXU pass pipelines better than four narrow ones
+        z = (jnp.dot(h, w_ref[:], preferred_element_type=jnp.float32)
+             + xp_buf[slot].astype(jnp.float32)
+             + b_ref[:].astype(jnp.float32))
+        i_s = jax.nn.sigmoid(z[:, 0 * h_dim:1 * h_dim])
+        f_s = jax.nn.sigmoid(z[:, 1 * h_dim:2 * h_dim])
+        g_t = jnp.tanh(z[:, 2 * h_dim:3 * h_dim])
+        o_s = jax.nn.sigmoid(z[:, 3 * h_dim:4 * h_dim])
         c_new = f_s * c.astype(jnp.float32) + i_s * g_t
         h_new = o_s * jnp.tanh(c_new)
         m = mask_ref[t][:, None].astype(jnp.float32)
@@ -264,18 +261,17 @@ def _bwd_kernel(g_seq_hbm, mask_ref, w_ref, c0_ref,
             pltpu.make_async_copy(dg_buf.at[slot], dg_hbm.at[t_old],
                                   dgsem.at[slot]).wait()
 
-        # per-gate dgates written straight into the staging buffer, and
-        # dh_prev accumulated gate-by-gate via w_g^T
+        # all four dgates as one (B, 4H) block, dh_prev as ONE wide
+        # (B, 4H) @ (4H, H)^T MXU pass
         dgi = (dc_t * g_t) * i_s * (1 - i_s)
         dgf = (dc_t * cp) * f_s * (1 - f_s)
         dgg = (dc_t * i_s) * (1 - g_t * g_t)
         dgo = do * o_s * (1 - o_s)
-        dh_prev = jnp.zeros_like(dh_acc)
-        for g, dgate in enumerate((dgi, dgf, dgg, dgo)):
-            dg_buf[slot, :, g * h_dim:(g + 1) * h_dim] = dgate.astype(dg_buf.dtype)
-            dh_prev += jax.lax.dot_general(
-                dgate.astype(w_ref.dtype), w_ref[:, g * h_dim:(g + 1) * h_dim],
-                (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        dg_all = jnp.concatenate([dgi, dgf, dgg, dgo], axis=1)
+        dg_buf[slot] = dg_all.astype(dg_buf.dtype)
+        dh_prev = jax.lax.dot_general(
+            dg_all.astype(w_ref.dtype), w_ref[:],
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
 
         dh_scr[:] = dh_prev + dh_acc * (1 - m)
         dc_scr[:] = dc_t * f_s + dc_acc * (1 - m)
