@@ -376,7 +376,8 @@ class DeviceBeamDecoder:
     def __init__(self, labels: Sequence[str], beam_width: int = 16,
                  blank_index: int = 0, lm_path: Optional[str] = None,
                  alpha: float = 0.0, beta: float = 0.0,
-                 cutoff_top_n: int = 10 ** 9, cutoff_prob: float = 1.0):
+                 cutoff_top_n: int = 10 ** 9, cutoff_prob: float = 1.0,
+                 shared_lm=None):
         self.label_map = LabelMap(labels, blank_index)
         self.labels = list(labels)
         self.beam_width = beam_width
@@ -386,12 +387,17 @@ class DeviceBeamDecoder:
         self.cutoff_top_n = cutoff_top_n
         self.cutoff_prob = cutoff_prob
         self._lm = None
-        if lm_path:
-            from dsjax.decode.lm_device import DeviceNgramLM
-
+        if lm_path or shared_lm is not None:
             if " " not in self.labels:
                 raise ValueError("on-device LM fusion needs a space label "
                                  "(word boundaries)")
+        if shared_lm is not None:
+            # already-packed PackedLM (e.g. one HBM table set shared by
+            # several tuner workers) — skip the per-decoder build
+            self._lm = shared_lm
+        elif lm_path:
+            from dsjax.decode.lm_device import DeviceNgramLM
+
             self._lm = DeviceNgramLM(lm_path, labels, blank_index).device()
 
     def reset_params(self, alpha: float, beta: float) -> None:

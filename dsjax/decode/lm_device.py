@@ -57,13 +57,20 @@ def _mix_index(k1, k2, mask):
     return ((k1 * MIX1) ^ (k2 * MIX2)) & mask
 
 
-def _fold_ids(ids: np.ndarray, mult: np.uint32) -> np.ndarray:
-    """Fold an (..., n) int array of word ids into one uint32 key."""
+def _fold_ids(ids: np.ndarray, mult: np.uint32,
+              reserve_empty: bool = False) -> np.ndarray:
+    """Fold an (..., n) int array of word ids into one uint32 key.
+
+    ``reserve_empty`` keeps EMPTY_KEY out of the result; it must be applied
+    ONLY to the key1 column (the one vacancy is encoded in) and mirrored by
+    the runtime fold (_fold_ids_jnp remaps h1 only) so build-time and
+    query-time key transforms stay identical."""
     h = np.full(ids.shape[:-1], FOLD_SEED, np.uint32)
     for j in range(ids.shape[-1]):
         h = h * mult + (ids[..., j].astype(np.int64) + 2).astype(np.uint32)
-    # keep EMPTY_KEY reserved for vacant slots
-    return np.where(h == EMPTY_KEY, h ^ np.uint32(1), h)
+    if reserve_empty:
+        h = np.where(h == EMPTY_KEY, h ^ np.uint32(1), h)
+    return h
 
 
 @register_pytree_node_class
@@ -210,7 +217,8 @@ class DeviceNgramLM:
             ids = (np.asarray(keys, np.int64).reshape(len(keys), n)
                    if keys else np.zeros((0, n), np.int64))
             self.tables.append(_build_table(
-                _fold_ids(ids, FOLD_A1), _fold_ids(ids, FOLD_A2),
+                _fold_ids(ids, FOLD_A1, reserve_empty=True),
+                _fold_ids(ids, FOLD_A2),
                 np.asarray(logps, np.float32), np.asarray(boffs, np.float32)))
 
     def device(self) -> PackedLM:

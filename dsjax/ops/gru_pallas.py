@@ -37,9 +37,17 @@ Array = jax.Array
 # forward kernel
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(xp_hbm, mask_ref, w_ref, b_ref, h0_ref,
-                y_hbm, h_out_ref, g_seq_hbm,
-                xp_buf, y_buf, g_buf, h_scr, in_sem, ysem, gsem):
+def _fwd_kernel(save_residuals, *refs):
+    if save_residuals:
+        (xp_hbm, mask_ref, w_ref, b_ref, h0_ref,
+         y_hbm, h_out_ref, g_seq_hbm,
+         xp_buf, y_buf, g_buf, h_scr, in_sem, ysem, gsem) = refs
+    else:
+        # inference path: skip the (T, B, 4H) gates HBM stream entirely
+        (xp_hbm, mask_ref, w_ref, b_ref, h0_ref,
+         y_hbm, h_out_ref,
+         xp_buf, y_buf, h_scr, in_sem, ysem) = refs
+        g_seq_hbm = g_buf = gsem = None
     t_dim = xp_hbm.shape[0]
     h_dim = w_ref.shape[0]
     h_scr[:] = h0_ref[:]
@@ -82,17 +90,19 @@ def _fwd_kernel(xp_hbm, mask_ref, w_ref, b_ref, h0_ref,
         def _():
             pltpu.make_async_copy(y_buf.at[slot], y_hbm.at[t - n_buf],
                                   ysem.at[slot]).wait()
-            pltpu.make_async_copy(g_buf.at[slot], g_seq_hbm.at[t - n_buf],
-                                  gsem.at[slot]).wait()
+            if save_residuals:
+                pltpu.make_async_copy(g_buf.at[slot], g_seq_hbm.at[t - n_buf],
+                                      gsem.at[slot]).wait()
 
         y_buf[slot] = (h_new * m).astype(y_buf.dtype)
-        # (r, z, n, hn) stream out for the recompute-free backward
-        g_buf[slot, :, 0 * h_dim:1 * h_dim] = r.astype(g_buf.dtype)
-        g_buf[slot, :, 1 * h_dim:2 * h_dim] = z.astype(g_buf.dtype)
-        g_buf[slot, :, 2 * h_dim:3 * h_dim] = n.astype(g_buf.dtype)
-        g_buf[slot, :, 3 * h_dim:4 * h_dim] = hn.astype(g_buf.dtype)
         pltpu.make_async_copy(y_buf.at[slot], y_hbm.at[t], ysem.at[slot]).start()
-        pltpu.make_async_copy(g_buf.at[slot], g_seq_hbm.at[t], gsem.at[slot]).start()
+        if save_residuals:
+            # (r, z, n, hn) stream out for the recompute-free backward
+            g_buf[slot, :, 0 * h_dim:1 * h_dim] = r.astype(g_buf.dtype)
+            g_buf[slot, :, 1 * h_dim:2 * h_dim] = z.astype(g_buf.dtype)
+            g_buf[slot, :, 2 * h_dim:3 * h_dim] = n.astype(g_buf.dtype)
+            g_buf[slot, :, 3 * h_dim:4 * h_dim] = hn.astype(g_buf.dtype)
+            pltpu.make_async_copy(g_buf.at[slot], g_seq_hbm.at[t], gsem.at[slot]).start()
         return 0
 
     jax.lax.fori_loop(0, t_dim, step, 0)
@@ -101,39 +111,45 @@ def _fwd_kernel(xp_hbm, mask_ref, w_ref, b_ref, h0_ref,
         t = t_dim - 1 - i
         slot = jax.lax.rem(t, n_buf)
         pltpu.make_async_copy(y_buf.at[slot], y_hbm.at[t], ysem.at[slot]).wait()
-        pltpu.make_async_copy(g_buf.at[slot], g_seq_hbm.at[t], gsem.at[slot]).wait()
+        if save_residuals:
+            pltpu.make_async_copy(g_buf.at[slot], g_seq_hbm.at[t], gsem.at[slot]).wait()
         return 0
 
     jax.lax.fori_loop(0, min(2, t_dim), drain, 0)
     h_out_ref[:] = h_scr[:]
 
 
-def _gru_fwd_pallas(xp, mask, w_hh, b_hh, h0, interpret):
+def _gru_fwd_pallas(xp, mask, w_hh, b_hh, h0, interpret,
+                    save_residuals: bool = True):
     t_dim, b_dim, g3 = xp.shape
     h_dim = w_hh.shape[0]
     dtype = xp.dtype
+    out_shapes = [jax.ShapeDtypeStruct((t_dim, b_dim, h_dim), dtype),
+                  jax.ShapeDtypeStruct((b_dim, h_dim), dtype)]
+    out_specs = [pl.BlockSpec(memory_space=pl.ANY),
+                 pl.BlockSpec(memory_space=pltpu.VMEM)]
+    scratch = [pltpu.VMEM((2, b_dim, g3), dtype),
+               pltpu.VMEM((2, b_dim, h_dim), dtype)]
+    if save_residuals:
+        out_shapes.append(
+            jax.ShapeDtypeStruct((t_dim, b_dim, 4 * h_dim), dtype))
+        out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        scratch.append(pltpu.VMEM((2, b_dim, 4 * h_dim), dtype))  # gates
+    scratch += [pltpu.VMEM((b_dim, h_dim), dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,))]
+    if save_residuals:
+        scratch.append(pltpu.SemaphoreType.DMA((2,)))
     return pl.pallas_call(
-        _fwd_kernel,
-        out_shape=(jax.ShapeDtypeStruct((t_dim, b_dim, h_dim), dtype),
-                   jax.ShapeDtypeStruct((b_dim, h_dim), dtype),
-                   jax.ShapeDtypeStruct((t_dim, b_dim, 4 * h_dim), dtype)),
+        functools.partial(_fwd_kernel, save_residuals),
+        out_shape=tuple(out_shapes),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=(pl.BlockSpec(memory_space=pl.ANY),
-                   pl.BlockSpec(memory_space=pltpu.VMEM),
-                   pl.BlockSpec(memory_space=pl.ANY)),
-        scratch_shapes=[
-            pltpu.VMEM((2, b_dim, g3), dtype),
-            pltpu.VMEM((2, b_dim, h_dim), dtype),
-            pltpu.VMEM((2, b_dim, 4 * h_dim), dtype),   # gates staging
-            pltpu.VMEM((b_dim, h_dim), dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        out_specs=tuple(out_specs),
+        scratch_shapes=scratch,
         interpret=interpret,
     )(xp, mask, w_hh, b_hh, h0)
 
@@ -265,8 +281,12 @@ def _gru_bwd_pallas(g_seq, mask, w_hh, h0, y, dy, dh_T, interpret):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
 def gru_scan(xp: Array, mask: Array, w_hh: Array, b_hh: Array, h0: Array,
              interpret: bool = False) -> Tuple[Array, Array]:
-    """Masked GRU recurrence over time. Returns (y, h_T)."""
-    y, h_t, _ = _gru_fwd_pallas(xp, mask, w_hh, b_hh, h0, interpret)
+    """Masked GRU recurrence over time. Returns (y, h_T).
+
+    Forward-only (primal) calls skip the gates HBM stream; _vjp_fwd saves
+    residuals when differentiated."""
+    y, h_t = _gru_fwd_pallas(xp, mask, w_hh, b_hh, h0, interpret,
+                             save_residuals=False)
     return y, h_t
 
 

@@ -59,10 +59,21 @@ def _cell_f32(gates, c_prev):
 # forward kernel
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(xp_hbm, mask_ref, w_ref, b_ref, h0_ref, c0_ref,
-                y_hbm, h_out_ref, c_out_ref, c_seq_hbm, g_seq_hbm,
-                xp_buf, y_buf, c_buf, g_buf, h_scr, c_scr,
-                in_sem, ysem, csem, gsem):
+def _fwd_kernel(save_residuals, *refs):
+    if save_residuals:
+        (xp_hbm, mask_ref, w_ref, b_ref, h0_ref, c0_ref,
+         y_hbm, h_out_ref, c_out_ref, c_seq_hbm, g_seq_hbm,
+         xp_buf, y_buf, c_buf, g_buf, h_scr, c_scr,
+         in_sem, ysem, csem, gsem) = refs
+    else:
+        # inference path: no backward will run, so skip the (T, B, 4H)
+        # gates and (T, B, H) c-trajectory HBM streams entirely (XLA can't
+        # dead-code a pallas_call output, so they must not exist)
+        (xp_hbm, mask_ref, w_ref, b_ref, h0_ref, c0_ref,
+         y_hbm, h_out_ref, c_out_ref,
+         xp_buf, y_buf, h_scr, c_scr,
+         in_sem, ysem) = refs
+        c_seq_hbm = g_seq_hbm = c_buf = g_buf = csem = gsem = None
     t_dim = xp_hbm.shape[0]
     h_dim = w_ref.shape[0]
     h_scr[:] = h0_ref[:]
@@ -111,21 +122,23 @@ def _fwd_kernel(xp_hbm, mask_ref, w_ref, b_ref, h0_ref, c0_ref,
         def _():
             pltpu.make_async_copy(y_buf.at[slot], y_hbm.at[t - n_buf],
                                   ysem.at[slot]).wait()
-            pltpu.make_async_copy(c_buf.at[slot], c_seq_hbm.at[t - n_buf],
-                                  csem.at[slot]).wait()
-            pltpu.make_async_copy(g_buf.at[slot], g_seq_hbm.at[t - n_buf],
-                                  gsem.at[slot]).wait()
+            if save_residuals:
+                pltpu.make_async_copy(c_buf.at[slot], c_seq_hbm.at[t - n_buf],
+                                      csem.at[slot]).wait()
+                pltpu.make_async_copy(g_buf.at[slot], g_seq_hbm.at[t - n_buf],
+                                      gsem.at[slot]).wait()
 
         y_buf[slot] = (h_new * m).astype(y_buf.dtype)
-        c_buf[slot] = c_keep.astype(c_buf.dtype)
-        # post-activation gates stream out for the recompute-free backward
-        g_buf[slot, :, 0 * h_dim:1 * h_dim] = i_s.astype(g_buf.dtype)
-        g_buf[slot, :, 1 * h_dim:2 * h_dim] = f_s.astype(g_buf.dtype)
-        g_buf[slot, :, 2 * h_dim:3 * h_dim] = g_t.astype(g_buf.dtype)
-        g_buf[slot, :, 3 * h_dim:4 * h_dim] = o_s.astype(g_buf.dtype)
         pltpu.make_async_copy(y_buf.at[slot], y_hbm.at[t], ysem.at[slot]).start()
-        pltpu.make_async_copy(c_buf.at[slot], c_seq_hbm.at[t], csem.at[slot]).start()
-        pltpu.make_async_copy(g_buf.at[slot], g_seq_hbm.at[t], gsem.at[slot]).start()
+        if save_residuals:
+            c_buf[slot] = c_keep.astype(c_buf.dtype)
+            # post-activation gates stream out for the recompute-free backward
+            g_buf[slot, :, 0 * h_dim:1 * h_dim] = i_s.astype(g_buf.dtype)
+            g_buf[slot, :, 1 * h_dim:2 * h_dim] = f_s.astype(g_buf.dtype)
+            g_buf[slot, :, 2 * h_dim:3 * h_dim] = g_t.astype(g_buf.dtype)
+            g_buf[slot, :, 3 * h_dim:4 * h_dim] = o_s.astype(g_buf.dtype)
+            pltpu.make_async_copy(c_buf.at[slot], c_seq_hbm.at[t], csem.at[slot]).start()
+            pltpu.make_async_copy(g_buf.at[slot], g_seq_hbm.at[t], gsem.at[slot]).start()
         return 0
 
     jax.lax.fori_loop(0, t_dim, step, 0)
@@ -138,8 +151,9 @@ def _fwd_kernel(xp_hbm, mask_ref, w_ref, b_ref, h0_ref, c0_ref,
         def _():
             slot = jax.lax.rem(t, n_buf)
             pltpu.make_async_copy(y_buf.at[slot], y_hbm.at[t], ysem.at[slot]).wait()
-            pltpu.make_async_copy(c_buf.at[slot], c_seq_hbm.at[t], csem.at[slot]).wait()
-            pltpu.make_async_copy(g_buf.at[slot], g_seq_hbm.at[t], gsem.at[slot]).wait()
+            if save_residuals:
+                pltpu.make_async_copy(c_buf.at[slot], c_seq_hbm.at[t], csem.at[slot]).wait()
+                pltpu.make_async_copy(g_buf.at[slot], g_seq_hbm.at[t], gsem.at[slot]).wait()
         return 0
 
     jax.lax.fori_loop(0, n_buf, drain, 0)
@@ -148,21 +162,48 @@ def _fwd_kernel(xp_hbm, mask_ref, w_ref, b_ref, h0_ref, c0_ref,
 
 
 def _lstm_fwd_pallas(xp: Array, mask: Array, w_hh: Array, b_hh: Array,
-                     h0: Array, c0: Array, interpret: bool
-                     ) -> Tuple[Array, Array, Array, Array]:
+                     h0: Array, c0: Array, interpret: bool,
+                     save_residuals: bool = True):
     t_dim, b_dim, g4 = xp.shape
     h_dim = w_hh.shape[0]
     dtype = xp.dtype
-    out_shapes = (
+    out_shapes = [
         jax.ShapeDtypeStruct((t_dim, b_dim, h_dim), dtype),   # y
         jax.ShapeDtypeStruct((b_dim, h_dim), dtype),          # h_T
         jax.ShapeDtypeStruct((b_dim, h_dim), dtype),          # c_T
-        jax.ShapeDtypeStruct((t_dim, b_dim, h_dim), dtype),   # c trajectory
-        jax.ShapeDtypeStruct((t_dim, b_dim, g4), dtype),      # gates i,f,g,o
-    )
+    ]
+    out_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+    ]
+    scratch = [
+        pltpu.VMEM((2, b_dim, g4), dtype),        # xp staging
+        pltpu.VMEM((2, b_dim, h_dim), dtype),     # y staging
+    ]
+    if save_residuals:
+        out_shapes += [
+            jax.ShapeDtypeStruct((t_dim, b_dim, h_dim), dtype),  # c trajectory
+            jax.ShapeDtypeStruct((t_dim, b_dim, g4), dtype),     # gates i,f,g,o
+        ]
+        out_specs += [pl.BlockSpec(memory_space=pl.ANY),
+                      pl.BlockSpec(memory_space=pl.ANY)]
+        scratch += [
+            pltpu.VMEM((2, b_dim, h_dim), dtype),     # c staging
+            pltpu.VMEM((2, b_dim, g4), dtype),        # gates staging
+        ]
+    scratch += [
+        pltpu.VMEM((b_dim, h_dim), dtype),        # h carry
+        pltpu.VMEM((b_dim, h_dim), dtype),        # c carry
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    if save_residuals:
+        scratch += [pltpu.SemaphoreType.DMA((2,)),
+                    pltpu.SemaphoreType.DMA((2,))]
     return pl.pallas_call(
-        _fwd_kernel,
-        out_shape=out_shapes,
+        functools.partial(_fwd_kernel, save_residuals),
+        out_shape=tuple(out_shapes),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),     # xp stays in HBM
             pl.BlockSpec(memory_space=pltpu.VMEM),    # mask
@@ -171,25 +212,8 @@ def _lstm_fwd_pallas(xp: Array, mask: Array, w_hh: Array, b_hh: Array,
             pl.BlockSpec(memory_space=pltpu.VMEM),    # h0
             pl.BlockSpec(memory_space=pltpu.VMEM),    # c0
         ],
-        out_specs=(
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((2, b_dim, g4), dtype),        # xp staging
-            pltpu.VMEM((2, b_dim, h_dim), dtype),     # y staging
-            pltpu.VMEM((2, b_dim, h_dim), dtype),     # c staging
-            pltpu.VMEM((2, b_dim, g4), dtype),        # gates staging
-            pltpu.VMEM((b_dim, h_dim), dtype),        # h carry
-            pltpu.VMEM((b_dim, h_dim), dtype),        # c carry
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        out_specs=tuple(out_specs),
+        scratch_shapes=scratch,
         interpret=interpret,
     )(xp, mask, w_hh, b_hh, h0, c0)
 
@@ -344,9 +368,13 @@ def _lstm_bwd_pallas(g_seq, mask, w_hh, c0, c_seq, dy, dh_T, dc_T,
 def lstm_scan(xp: Array, mask: Array, w_hh: Array, b_hh: Array,
               h0: Array, c0: Array, interpret: bool = False
               ) -> Tuple[Array, Array, Array]:
-    """Masked LSTM recurrence over time. Returns (y, h_T, c_T)."""
-    y, h_t, c_t, _, _ = _lstm_fwd_pallas(xp, mask, w_hh, b_hh, h0, c0,
-                                         interpret)
+    """Masked LSTM recurrence over time. Returns (y, h_T, c_T).
+
+    Forward-only (primal) calls skip the gates / c-trajectory HBM streams:
+    eval and serving pay no residual write bandwidth. When jax.grad traces
+    through, custom_vjp routes to _vjp_fwd which saves residuals."""
+    y, h_t, c_t = _lstm_fwd_pallas(xp, mask, w_hh, b_hh, h0, c0,
+                                   interpret, save_residuals=False)
     return y, h_t, c_t
 
 

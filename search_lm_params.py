@@ -37,6 +37,8 @@ class OptimizerConfig:
     is_character_based: bool = True   # minimize CER (else WER)
     lm_path: str = ""
     beam_width: int = 10
+    cutoff_top_n: int = 40            # same candidate pruning for BOTH the
+    cutoff_prob: float = 1.0          # host and device trial decoders
     alpha_from: float = 0.0
     alpha_to: float = 3.0
     beta_from: float = 0.0
@@ -73,15 +75,17 @@ class Objective:
 
             packed = DeviceNgramLM(cfg.lm_path, self.labels, blank).device()
 
-            def make_decoder():
-                d = DeviceBeamDecoder(self.labels, beam_width=cfg.beam_width,
-                                      blank_index=blank)
-                d._lm = packed  # share one HBM table set across workers
-                return d
+            # one HBM table set shared across workers; pruning params match
+            # the host decoder so tuned (alpha, beta) transfer
+            make_decoder = lambda: DeviceBeamDecoder(
+                self.labels, beam_width=cfg.beam_width, blank_index=blank,
+                cutoff_top_n=cfg.cutoff_top_n, cutoff_prob=cfg.cutoff_prob,
+                shared_lm=packed)
         else:
             make_decoder = lambda: BeamCTCDecoder(
                 self.labels, lm_path=cfg.lm_path or None,
                 beam_width=cfg.beam_width, num_processes=cfg.num_workers,
+                cutoff_top_n=cfg.cutoff_top_n, cutoff_prob=cfg.cutoff_prob,
                 blank_index=blank)
         self.decoder = make_decoder()
         self._pool_decoders = [self.decoder] + [
