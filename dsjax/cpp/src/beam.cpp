@@ -44,15 +44,24 @@ struct BeamScore {
 // (child counts are <= n_keep, a linear scan beats hashing), arena
 // allocation (std::deque, no per-node malloc/free), and in-node epoch
 // stamping so per-step candidate merging needs NO hash map at all.
-// Nodes live for one ds_beam_decode call.
+// Nodes live for one ds_beam_decode call (arena memory is retained;
+// ctcdecode-style deletion just unlinks the node from the trie).
+//
+// Offsets semantics (ctcdecode parity, reference decoder.py:85-101 over
+// parlance/ctcdecode path_trie.cpp): (log_prob_c, timestep) update on
+// EVERY extension attempt whose frame char log-prob beats the stored one,
+// while pruning a beam marks it dead and unlinks childless chains so a
+// re-created prefix starts with fresh state.
 struct TrieNode {
   TrieNode* parent = nullptr;
   TrieNode* first_child = nullptr;
   TrieNode* next_sibling = nullptr;
   int label = -1;       // label id of the edge from parent
-  int timestep = -1;    // frame at which this char was emitted
+  int timestep = -1;    // loudest attempt frame (ctcdecode timestep)
+  double log_prob_c = kNegInf;  // frame log-prob backing `timestep`
   int depth = 0;
   int epoch = -1;       // last step that touched this node
+  bool exists = true;   // ctcdecode exists_: node is a live beam candidate
   BeamScore pending;    // per-step merged candidate mass
   double lm_memo = 0.0; // word-boundary LM bonus (prefix-invariant)
   bool lm_cached = false;
@@ -62,16 +71,35 @@ struct TrieNode {
       if (c->label == l) return c;
     return nullptr;
   }
+
+  void unlink_child(TrieNode* child) {
+    TrieNode** slot = &first_child;
+    while (*slot && *slot != child) slot = &(*slot)->next_sibling;
+    if (*slot) *slot = child->next_sibling;
+  }
+
+  // ctcdecode PathTrie::remove(): mark dead; delete (unlink) childless
+  // chains so their (log_prob_c, timestep) state is forgotten.
+  void remove() {
+    exists = false;
+    if (!first_child && parent) {
+      parent->unlink_child(this);
+      TrieNode* p = parent;
+      parent = nullptr;  // guard against double unlink
+      if (!p->exists && !p->first_child) p->remove();
+    }
+  }
 };
 
 struct Arena {
   std::deque<TrieNode> pool;
-  TrieNode* make(TrieNode* parent, int label, int t) {
+  TrieNode* make(TrieNode* parent, int label, int t, double log_prob_c) {
     pool.emplace_back();
     TrieNode* n = &pool.back();
     n->parent = parent;
     n->label = label;
     n->timestep = t;
+    n->log_prob_c = log_prob_c;
     n->depth = parent->depth + 1;
     n->next_sibling = parent->first_child;
     parent->first_child = n;
@@ -182,6 +210,7 @@ int ds_beam_decode(void* decoder, const float* probs, int t_dim, int c_dim,
     TrieNode* parent;
     int label;
     double p_nb;
+    double p_c;          // frame char log-prob (node state if it wins)
   };
   std::vector<TrieNode*> touched;
   std::vector<Fresh> fresh;
@@ -256,31 +285,49 @@ int ds_beam_decode(void* decoder, const float* probs, int t_dim, int c_dim,
           // repeat collapses into the same prefix...
           BeamScore& nb = stamp(prefix);
           nb.p_nb = logaddexp(nb.p_nb, bs.p_nb + p_c);
-          // ...or extends after a blank
+          // ...or extends after a blank (sc may be -inf: ctcdecode still
+          // creates/updates the trie node for the attempt)
           sc = bs.p_b + p_c;
-          if (sc == kNegInf) continue;
         } else {
           sc = p_total + p_c;
         }
-        if (c == d->space) sc += lm_bonus(prefix);
+        if (c == d->space && sc != kNegInf) sc += lm_bonus(prefix);
         if (TrieNode* ext = prefix->find_child(c)) {
+          // ctcdecode get_path_trie: every attempt updates the node's
+          // (log_prob_c, timestep) to the loudest frame, and revives a
+          // dead node kept alive by its children
+          if (ext->log_prob_c < p_c) {
+            ext->log_prob_c = p_c;
+            ext->timestep = t;
+          }
+          ext->exists = true;
           BeamScore& nb2 = stamp(ext);
           nb2.p_nb = logaddexp(nb2.p_nb, sc);
         } else {
           // distinct (prefix, c) pairs are distinct prefixes, so fresh
           // records never merge with each other — only existing nodes can
-          // receive mass from more than one source
-          fresh.push_back(Fresh{prefix, c, sc});
+          // receive mass from more than one source. A losing fresh record
+          // never materializes, which equals ctcdecode's create-then-
+          // remove of a pruned childless leaf.
+          fresh.push_back(Fresh{prefix, c, sc, p_c});
         }
       }
     }
 
-    // prune to beam width over (touched existing nodes + fresh records)
+    // prune to beam width over (touched existing nodes + fresh records +
+    // prior beams that received no mass this step, which ctcdecode keeps
+    // as -inf candidates via iterate_to_vec)
     ranked.clear();
     for (TrieNode* n : touched)
       ranked.push_back(Ranked{n, -1, n->pending.total()});
     for (int i = 0; i < (int)fresh.size(); ++i)
       ranked.push_back(Ranked{nullptr, i, fresh[i].p_nb});
+    for (auto& kv : beams) {
+      if (kv.first->epoch != t) {
+        kv.first->pending = BeamScore{};
+        ranked.push_back(Ranked{kv.first, -1, kNegInf});
+      }
+    }
     int keep = std::min<int>(beam_width, (int)ranked.size());
     std::partial_sort(ranked.begin(), ranked.begin() + keep, ranked.end(),
                       [](const Ranked& a, const Ranked& b) {
@@ -292,10 +339,14 @@ int ds_beam_decode(void* decoder, const float* probs, int t_dim, int c_dim,
         beams.emplace_back(ranked[i].node, ranked[i].node->pending);
       } else {
         const Fresh& f = fresh[ranked[i].idx];
-        TrieNode* n = arena.make(f.parent, f.label, t);
+        TrieNode* n = arena.make(f.parent, f.label, t, f.p_c);
         beams.emplace_back(n, BeamScore{kNegInf, f.p_nb});
       }
     }
+    // ctcdecode removes every candidate beyond the beam: dead childless
+    // chains unlink so their timestep state resets on re-creation
+    for (int i = keep; i < (int)ranked.size(); ++i)
+      if (ranked[i].node) ranked[i].node->remove();
   }
 
   // finalize: trailing-word LM score

@@ -21,7 +21,6 @@ host-side decode off the critical path.
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -41,14 +40,87 @@ def _logaddexp(a: float, b: float) -> float:
     return m + math.log(math.exp(a - m) + math.exp(b - m))
 
 
-@dataclass
-class _Beam:
-    p_b: float = NEG_INF           # log mass of paths ending in blank
-    p_nb: float = NEG_INF          # log mass of paths ending in non-blank
-    offsets: Tuple[int, ...] = ()  # frame index per emitted char
+class _TrieNode:
+    """ctcdecode PathTrie twin (parlance/ctcdecode path_trie.cpp).
+
+    Semantics that matter for offsets parity with the reference's
+    BeamCTCDecoder (reference decoder.py:85-101, which surfaces
+    ctcdecode's per-beam ``timesteps``):
+
+      * each char node carries (log_prob_c, timestep); EVERY extension
+        attempt from a parent that is in the current beam updates them to
+        the loudest frame seen so far (get_path_trie updates when the
+        frame's char log-prob exceeds the stored one) — the reported
+        offset of a char is NOT its first emission frame but the frame
+        with the highest per-frame probability of that char among all
+        frames where the extension was attempted;
+      * nodes persist across steps; pruning a beam marks it dead
+        (exists=False) and deletes now-childless chains, so a later
+        re-creation of the same prefix starts with fresh (logp, t).
+    """
+
+    __slots__ = ("char", "parent", "children", "exists", "p_b", "p_nb",
+                 "p_b_cur", "p_nb_cur", "log_prob_c", "timestep")
+
+    def __init__(self, char: int = -1, parent: "_TrieNode" = None,
+                 timestep: int = 0, log_prob_c: float = NEG_INF):
+        self.char = char
+        self.parent = parent
+        self.children: Dict[int, "_TrieNode"] = {}
+        self.exists = True
+        self.p_b = NEG_INF
+        self.p_nb = NEG_INF
+        self.p_b_cur = NEG_INF
+        self.p_nb_cur = NEG_INF
+        self.log_prob_c = log_prob_c
+        self.timestep = timestep
 
     def total(self) -> float:
         return _logaddexp(self.p_b, self.p_nb)
+
+    def get_path_trie(self, c: int, t: int, log_prob_c: float) -> "_TrieNode":
+        node = self.children.get(c)
+        if node is not None:
+            if node.log_prob_c < log_prob_c:
+                node.log_prob_c = log_prob_c
+                node.timestep = t
+            if not node.exists:
+                node.exists = True
+                node.p_b = node.p_nb = NEG_INF
+                node.p_b_cur = node.p_nb_cur = NEG_INF
+            return node
+        node = _TrieNode(c, self, t, log_prob_c)
+        self.children[c] = node
+        return node
+
+    def remove(self) -> None:
+        self.exists = False
+        if not self.children and self.parent is not None:
+            del self.parent.children[self.char]
+            if not self.parent.exists and not self.parent.children:
+                self.parent.remove()
+
+    def path(self) -> Tuple[Tuple[int, ...], Tuple[int, ...]]:
+        ids: List[int] = []
+        offs: List[int] = []
+        n = self
+        while n.parent is not None:
+            ids.append(n.char)
+            offs.append(n.timestep)
+            n = n.parent
+        return tuple(reversed(ids)), tuple(reversed(offs))
+
+    def iterate_to_vec(self, out: List["_TrieNode"]) -> None:
+        """End-of-step collection: swap cur -> prev for every live node
+        (ctcdecode path_trie.cpp iterate_to_vec)."""
+        if self.exists:
+            self.p_b = self.p_b_cur
+            self.p_nb = self.p_nb_cur
+            self.p_b_cur = NEG_INF
+            self.p_nb_cur = NEG_INF
+            out.append(self)
+        for child in list(self.children.values()):
+            child.iterate_to_vec(out)
 
 
 class BeamCTCDecoder:
@@ -145,10 +217,18 @@ class BeamCTCDecoder:
             return 0.0
         return self.alpha * self.lm.score_word_ln(words[-1], words[:-1]) + self.beta
 
+    def _lm_score_node(self, node: "_TrieNode") -> float:
+        """_lm_score over a trie node's prefix (walks parent pointers)."""
+        if self.lm is None:
+            return 0.0
+        return self._lm_score(node.path()[0])
+
     def _decode_one(self, lp: np.ndarray) -> List[Tuple[Tuple[int, ...], Tuple[int, ...], float]]:
         t_dim, c_dim = lp.shape
         log_probs = np.log(np.maximum(lp, 1e-30))
-        beams: Dict[Tuple[int, ...], _Beam] = {(): _Beam(p_b=0.0)}
+        root = _TrieNode()
+        root.p_b = 0.0
+        beams: List[_TrieNode] = [root]
         for t in range(t_dim):
             row = log_probs[t]
             # candidate pruning: top cutoff_top_n chars, cumulative cutoff_prob
@@ -159,54 +239,52 @@ class BeamCTCDecoder:
             else:
                 n_keep = c_dim
             cand = order[: min(self.cutoff_top_n, n_keep, c_dim)]
-            next_beams: Dict[Tuple[int, ...], _Beam] = {}
 
-            def get(prefix: Tuple[int, ...], offsets: Tuple[int, ...]) -> _Beam:
-                bm = next_beams.get(prefix)
-                if bm is None:
-                    bm = _Beam(offsets=offsets)
-                    next_beams[prefix] = bm
-                return bm
-
-            for prefix, beam in beams.items():
-                p_total = beam.total()
+            for prefix in beams:
+                p_total = prefix.total()
+                last = prefix.char
                 for ci in cand:
                     p_c = float(row[ci])
                     if ci == self.blank_index:
-                        nb = get(prefix, beam.offsets)
-                        nb.p_b = _logaddexp(nb.p_b, p_total + p_c)
+                        prefix.p_b_cur = _logaddexp(prefix.p_b_cur,
+                                                    p_total + p_c)
                         continue
-                    last = prefix[-1] if prefix else -1
                     if ci == last:
-                        # same char: repeat collapses into prefix ...
-                        nb = get(prefix, beam.offsets)
-                        nb.p_nb = _logaddexp(nb.p_nb, beam.p_nb + p_c)
-                        # ... or extends after a blank
-                        ext = prefix + (ci,)
-                        score = beam.p_b + p_c
-                        if ci == self.space_index:
-                            score += self._lm_score(prefix)
-                        nb2 = get(ext, beam.offsets + (t,))
-                        nb2.p_nb = _logaddexp(nb2.p_nb, score)
+                        # same char: repeat collapses into prefix
+                        prefix.p_nb_cur = _logaddexp(prefix.p_nb_cur,
+                                                     prefix.p_nb + p_c)
+                    # extension attempt — creates/updates the trie node
+                    # (offset bookkeeping) even if it won't win a beam slot
+                    ext = prefix.get_path_trie(ci, t, p_c)
+                    if ci == last:
+                        # extends only after a blank
+                        score = (prefix.p_b + p_c
+                                 if prefix.p_b != NEG_INF else NEG_INF)
                     else:
-                        ext = prefix + (ci,)
                         score = p_total + p_c
-                        if ci == self.space_index:
-                            score += self._lm_score(prefix)
-                        nb2 = get(ext, beam.offsets + (t,))
-                        nb2.p_nb = _logaddexp(nb2.p_nb, score)
-            # prune to beam width
-            ranked = sorted(next_beams.items(), key=lambda kv: kv[1].total(),
-                            reverse=True)
-            beams = dict(ranked[: self.beam_width])
+                    if ci == self.space_index and score != NEG_INF:
+                        score += self._lm_score_node(prefix)
+                    ext.p_nb_cur = _logaddexp(ext.p_nb_cur, score)
+
+            # collect every live node (cur -> prev swap), prune to width,
+            # and remove the rest (dead childless chains are deleted, so a
+            # later re-creation starts fresh — ctcdecode remove())
+            collected: List[_TrieNode] = []
+            root.iterate_to_vec(collected)
+            collected.sort(key=_TrieNode.total, reverse=True)
+            beams = collected[: self.beam_width]
+            for node in collected[self.beam_width:]:
+                node.remove()
 
         # finalize: score trailing word
         results = []
-        for prefix, beam in beams.items():
-            score = beam.total()
-            if self.lm is not None and prefix and prefix[-1] != self.space_index:
-                score += self._lm_score(prefix)
-            results.append((prefix, beam.offsets, score))
+        for node in beams:
+            score = node.total()
+            if (self.lm is not None and node.char >= 0
+                    and node.char != self.space_index):
+                score += self._lm_score_node(node)
+            ids, offs = node.path()
+            results.append((ids, offs, score))
         results.sort(key=lambda r: r[2], reverse=True)
         return results
 

@@ -314,13 +314,16 @@ def _beam_scan(log_probs: jnp.ndarray, sizes: jnp.ndarray, beam_width: int,
                     jnp.where(act, new_memo, memo))
         bp = jnp.where(act, parent, slot_iota)
         em = jnp.where(act, char, -1)
+        # post-step beam hashes stream out so ctcdecode-parity offsets can
+        # reconstruct per-step beam membership on the host (dead slots hold
+        # sentinel hashes that match no real prefix)
         return ((p_b, p_nb, last, h1, h2, ph1, ph2), lm_state), (
-            bp.astype(jnp.int32), em)
+            bp.astype(jnp.int32), em, h1, h2)
 
     init = carry0 if carry0 is not None else ((p_b0, p_nb0, last0, h1_0,
                                                h2_0, ph1_0, ph2_0), lm0)
-    carry, (backptr, emit) = jax.lax.scan(step, init,
-                                          (lp, jnp.arange(t_dim)))
+    carry, (backptr, emit, h1_seq, h2_seq) = jax.lax.scan(
+        step, init, (lp, jnp.arange(t_dim)))
     (p_b, p_nb, *_), lm_state = carry
     totals = jnp.logaddexp(p_b, p_nb)
     if lm is not None:
@@ -330,7 +333,7 @@ def _beam_scan(log_probs: jnp.ndarray, sizes: jnp.ndarray, beam_width: int,
         cur1, cur2, ctx, in_word, _ = lm_state
         score_ln, _ = score_word_ln(lm, cur1, cur2, ctx)
         totals = totals + jnp.where(in_word, alpha * score_ln + beta, 0.0)
-    return backptr, emit, totals, carry
+    return backptr, emit, (h1_seq, h2_seq), totals, carry
 
 
 @jax.jit
@@ -377,7 +380,7 @@ class DeviceBeamDecoder:
                  blank_index: int = 0, lm_path: Optional[str] = None,
                  alpha: float = 0.0, beta: float = 0.0,
                  cutoff_top_n: int = 10 ** 9, cutoff_prob: float = 1.0,
-                 shared_lm=None):
+                 shared_lm=None, ctc_offsets: bool = False):
         self.label_map = LabelMap(labels, blank_index)
         self.labels = list(labels)
         self.beam_width = beam_width
@@ -386,6 +389,13 @@ class DeviceBeamDecoder:
         self.beta = beta
         self.cutoff_top_n = cutoff_top_n
         self.cutoff_prob = cutoff_prob
+        # ctc_offsets=True: report ctcdecode-parity timesteps (loudest
+        # attempt frame per char, reconstructed host-side from the streamed
+        # beam-hash history + posteriors — costs one (T,B,W) int32 x2 and
+        # one (B,T,C) device->host transfer per decode). Default False:
+        # emission-frame offsets, zero extra transfer (eval/WER paths
+        # discard offsets entirely).
+        self.ctc_offsets = ctc_offsets
         self._lm = None
         if lm_path or shared_lm is not None:
             if " " not in self.labels:
@@ -426,7 +436,7 @@ class DeviceBeamDecoder:
                          beta=jnp.float32(self.beta),
                          space=self.label_map.space_index)
         carry0 = state.carry if state is not None else None
-        backptr, emit, scores, carry = _beam_scan(
+        backptr, emit, _hists, scores, carry = _beam_scan(
             lp, jnp.full((b,), t, jnp.int32), self.beam_width,
             self.blank_index, cutoff_top_n=self.cutoff_top_n,
             cutoff_prob=self.cutoff_prob, carry0=carry0, **lm_kw)
@@ -463,11 +473,12 @@ class DeviceBeamDecoder:
             lm_kw = dict(lm=self._lm, alpha=jnp.float32(self.alpha),
                          beta=jnp.float32(self.beta),
                          space=self.label_map.space_index)
-        backptr, emit, scores, _ = _beam_scan(lp, sizes_arr, self.beam_width,
-                                              self.blank_index,
-                                              cutoff_top_n=self.cutoff_top_n,
-                                              cutoff_prob=self.cutoff_prob,
-                                              **lm_kw)
+        backptr, emit, hists, scores, _ = _beam_scan(lp, sizes_arr,
+                                                     self.beam_width,
+                                                     self.blank_index,
+                                                     cutoff_top_n=self.cutoff_top_n,
+                                                     cutoff_prob=self.cutoff_prob,
+                                                     **lm_kw)
         order = np.argsort(-np.asarray(scores), axis=1)  # (B, W)
 
         # backtrack ON DEVICE; only the (T, B, n_best) int16 char stream
@@ -488,14 +499,118 @@ class DeviceBeamDecoder:
         else:
             slut = np.array(chars)
             mk = lambda row: "".join(slut[row])
+        ctc = None
+        if self.ctc_offsets:
+            sizes_np = np.asarray(sizes_arr)
+            ctc = _CtcOffsets(np.asarray(lp), sizes_np,
+                              np.asarray(hists[0]), np.asarray(hists[1]),
+                              self.blank_index, self.cutoff_top_n,
+                              self.cutoff_prob)
         strings: List[List[str]] = []
         offsets: List[List[np.ndarray]] = []
         for i in range(b_dim):
             utt_s, utt_o = [], []
             for p in range(n_best):
                 pos = np.nonzero(rev_chars[:, i, p] >= 0)[0]
-                utt_s.append(mk(rev_chars[pos, i, p]))
-                utt_o.append(pos.astype(np.int32))
+                chars_row = rev_chars[pos, i, p]
+                utt_s.append(mk(chars_row))
+                if ctc is not None:
+                    utt_o.append(ctc.offsets(i, chars_row.astype(np.int64),
+                                             pos))
+                else:
+                    utt_o.append(pos.astype(np.int32))
             strings.append(utt_s)
             offsets.append(utt_o)
         return strings, offsets
+
+
+class _CtcOffsets:
+    """ctcdecode-parity timesteps for the device beam, reconstructed on the
+    host from the scan's streamed per-step beam hashes.
+
+    ctcdecode's rule (parlance/ctcdecode path_trie.cpp, surfaced by the
+    reference decoder.py:85-101): a char node's timestep is the frame with
+    the highest per-frame char log-prob among every extension ATTEMPT —
+    attempts happen whenever the parent prefix is in the beam and the char
+    passes candidate pruning — and a pruned childless node is deleted, so
+    state restarts at its next re-creation. Reconstruction per char c_j of
+    a winning beam (prefix p_{j-1}, node p_j, emission frame tau_j from
+    the device backtrack):
+
+      attempts_j = {t : p_{j-1} in beam entering step t, c_j in cand_t}
+      R_j        = 1 + max{t in attempts_j, t < tau_j :
+                           p_j not in beam after step t}   (node death ->
+                   state reset; assumes the node is childless before its
+                   final emission, the overwhelmingly common case)
+      offset_j   = argmax_{t in attempts_j, t >= R_j} logp[t, c_j]
+
+    Beam membership is tested by the same int32 rolling-hash pair the scan
+    merges on (collision odds ~2^-64)."""
+
+    def __init__(self, lp, sizes, h1_hist, h2_hist, blank,
+                 cutoff_top_n, cutoff_prob):
+        self.lp = lp                    # (B, T, C) log posteriors
+        self.sizes = sizes
+        # uint32 views so python-side hash arithmetic is plain mod-2^32
+        self.h1 = h1_hist.astype(np.int64) & 0xFFFFFFFF   # (T, B, W)
+        self.h2 = h2_hist.astype(np.int64) & 0xFFFFFFFF
+        self.blank = blank
+        self.cutoff_top_n = cutoff_top_n
+        self.cutoff_prob = cutoff_prob
+        self._cand = {}
+
+    def _cand_mask(self, i):
+        """(T, C) candidate mask replicating the scan's pruning."""
+        if i in self._cand:
+            return self._cand[i]
+        lp = self.lp[i]
+        t_dim, c_dim = lp.shape
+        if self.cutoff_top_n >= c_dim and self.cutoff_prob >= 1.0:
+            mask = np.ones((t_dim, c_dim), bool)
+        else:
+            order = np.argsort(-lp, axis=1)
+            rank = np.argsort(order, axis=1)
+            mask = rank < self.cutoff_top_n
+            if self.cutoff_prob < 1.0:
+                svals = np.take_along_axis(lp, order, axis=1)
+                cum = np.cumsum(np.exp(svals), axis=1)
+                n_keep = np.sum(cum < self.cutoff_prob, axis=1,
+                                keepdims=True) + 1
+                mask &= rank < n_keep
+        self._cand[i] = mask
+        return mask
+
+    def offsets(self, i, chars, pos):
+        t_dim = self.h1.shape[0]
+        size = int(self.sizes[i])
+        m1, m2 = self.h1[:, i, :], self.h2[:, i, :]      # post-step (T, W)
+        cand = self._cand_mask(i)
+        tvalid = np.arange(t_dim) < size
+        # prefix hashes: empty prefix = 1 (scan init), then the scan's
+        # int32 rolling update mod 2^32
+        hp1, hp2 = [1], [1]
+        for c in chars:
+            hp1.append((hp1[-1] * int(_P1) + int(c) + 1) & 0xFFFFFFFF)
+            hp2.append((hp2[-1] * int(_P2) + int(c) + 1) & 0xFFFFFFFF)
+        out = np.empty(len(chars), np.int32)
+        lp = self.lp[i]
+        for j, c in enumerate(chars):
+            # membership ENTERING step t = state after step t-1; at t=0 the
+            # scan starts with the empty prefix alive (hash 1)
+            in_after = (m1 == hp1[j]) & (m2 == hp2[j])
+            parent_in = np.empty(t_dim, bool)
+            parent_in[1:] = in_after.any(axis=1)[:-1]
+            parent_in[0] = hp1[j] == 1 and hp2[j] == 1
+            attempts = parent_in & cand[:, int(c)] & tvalid
+            child_after = ((m1 == hp1[j + 1])
+                           & (m2 == hp2[j + 1])).any(axis=1)
+            tau = int(pos[j])
+            deaths = np.nonzero(attempts & ~child_after
+                                & (np.arange(t_dim) < tau))[0]
+            r = int(deaths[-1]) + 1 if len(deaths) else 0
+            window = attempts & (np.arange(t_dim) >= r)
+            if not window.any():        # defensive: emission frame always
+                window[tau] = True      # qualifies
+            col = np.where(window, lp[:, int(c)], -np.inf)
+            out[j] = int(np.argmax(col))
+        return out

@@ -103,21 +103,27 @@ def load_model(model_path: str, precision: int = 32) -> ModelBundle:
     return ModelBundle(model, variables, labels, cfg.data.spect)
 
 
-def load_decoder(labels: List[str], cfg: LMConfig):
+def load_decoder(labels: List[str], cfg: LMConfig, want_offsets: bool = False):
     """Greedy or beam decoder from config (reference: utils.py:37-54).
 
     LM-free beam decode runs ON DEVICE (DeviceBeamDecoder: one batched jit
     scan instead of a host loop per utterance); with an LM the host
     C++/Python beam with shallow fusion is used, unless ``lm.device_beam``
     moves the LM itself onto the device (HBM hash tables fused into the
-    beam scan — requires an ARPA-format lm_path)."""
+    beam scan — requires an ARPA-format lm_path).
+
+    ``want_offsets``: the caller will surface per-char offsets (transcribe
+    offsets=true) — device beams then reconstruct ctcdecode-parity
+    timesteps (costs one posterior download per decode); WER-only paths
+    keep the zero-transfer emission offsets."""
     if cfg.decoder_type == DecoderType.beam:
         if not cfg.lm_path:
             from dsjax.decode.beam_device import DeviceBeamDecoder
 
             return DeviceBeamDecoder(labels, beam_width=cfg.beam_width,
                                      cutoff_top_n=cfg.cutoff_top_n,
-                                     cutoff_prob=cfg.cutoff_prob)
+                                     cutoff_prob=cfg.cutoff_prob,
+                                     ctc_offsets=want_offsets)
         if getattr(cfg, "device_beam", False):
             from dsjax.decode.lm import BINARY_MAGIC
 
@@ -130,7 +136,8 @@ def load_decoder(labels: List[str], cfg: LMConfig):
                                          lm_path=cfg.lm_path,
                                          alpha=cfg.alpha, beta=cfg.beta,
                                          cutoff_top_n=cfg.cutoff_top_n,
-                                         cutoff_prob=cfg.cutoff_prob)
+                                         cutoff_prob=cfg.cutoff_prob,
+                                         ctc_offsets=want_offsets)
         return BeamCTCDecoder(labels, lm_path=cfg.lm_path,
                               alpha=cfg.alpha, beta=cfg.beta,
                               cutoff_top_n=cfg.cutoff_top_n,

@@ -117,9 +117,16 @@ def evaluate(cfg: EvalConfig) -> Tuple[float, float]:
     bundle = load_model(cfg.model.model_path, cfg.model.precision)
     decoder = load_decoder(bundle.labels, cfg.lm)
     target_decoder = load_decoder(bundle.labels, type(cfg.lm)())  # greedy
+    dev_feats = cfg.device_features
+    if dev_feats:
+        from dsjax.audio.features import stft_params
+
+        n_fft, hop, _ = stft_params(bundle.spect_cfg)
+        if n_fft != 2 * hop:  # device framing assumes 50% window overlap
+            print("device_features disabled: window overlap != 50%")
+            dev_feats = False
     ds = SpectrogramDataset(bundle.spect_cfg, cfg.test_path, bundle.labels,
-                            normalize=True,
-                            device_features=cfg.device_features)
+                            normalize=True, device_features=dev_feats)
     sampler = OrderedBatchSampler(len(ds), cfg.batch_size)
     pipe = DataPipeline(ds, sampler, bucket_frames=64, bucket_labels=64,
                         num_workers=cfg.num_workers, prefetch=2,
@@ -170,7 +177,7 @@ def evaluate(cfg: EvalConfig) -> Tuple[float, float]:
 def transcribe(cfg: TranscribeConfig) -> dict:
     """Transcription workflow (reference: inference.py:44-76)."""
     bundle = load_model(cfg.model.model_path, cfg.model.precision)
-    decoder = load_decoder(bundle.labels, cfg.lm)
+    decoder = load_decoder(bundle.labels, cfg.lm, want_offsets=cfg.offsets)
     decoded_output, decoded_offsets = run_transcribe(
         audio_path=cfg.audio_path, bundle=bundle, decoder=decoder,
         chunk_size_seconds=cfg.chunk_size_seconds)

@@ -101,3 +101,50 @@ def test_decode_returns_all_beams_by_default():
 
     res = decode_results(strings, offsets, top_paths=3)
     assert len(res["output"]) == 3
+
+
+def test_ctcdecode_offsets_match_host_twin_exhaustive():
+    """ctc_offsets=True: the device beam's reconstructed timesteps must
+    equal the host PathTrie twin's ctcdecode-parity offsets wherever the
+    two searches agree (guaranteed at exhaustive width)."""
+    rng = np.random.default_rng(3)
+    C = 4
+    labels = LABELS[:C]
+    host = BeamCTCDecoder(labels, beam_width=512, cutoff_top_n=C)
+    host._cpp = None  # force the python PathTrie twin
+    dev = DeviceBeamDecoder(labels, beam_width=512, ctc_offsets=True)
+    for trial in range(6):
+        logits = rng.standard_normal((6, C)) * 2.0
+        probs = (np.exp(logits) / np.exp(logits).sum(-1, keepdims=True)
+                 ).astype(np.float32)[None]
+        hs, hoffs = host.decode(probs)
+        ds, doffs = dev.decode(probs)
+        assert hs[0][0] == ds[0][0], f"trial {trial}"
+        np.testing.assert_array_equal(np.asarray(doffs[0][0]),
+                                      np.asarray(hoffs[0][0]),
+                                      err_msg=f"trial {trial}")
+
+
+def test_ctcdecode_offsets_pruned_width_sane():
+    """At small widths the device search may pick different hypotheses
+    than the host, but its ctcdecode-style offsets must stay internally
+    consistent: valid frames, one per char, each at least as loud as the
+    emission frame for that char."""
+    rng = np.random.default_rng(9)
+    dev = DeviceBeamDecoder(LABELS, beam_width=4, ctc_offsets=True)
+    dev_emit = DeviceBeamDecoder(LABELS, beam_width=4)
+    for _ in range(4):
+        logits = rng.standard_normal((12, len(LABELS))) * 2.0
+        probs = (np.exp(logits) / np.exp(logits).sum(-1, keepdims=True)
+                 ).astype(np.float32)[None]
+        ds, doffs = dev.decode(probs)
+        es, eoffs = dev_emit.decode(probs)
+        assert ds[0][0] == es[0][0]
+        offs = np.asarray(doffs[0][0])
+        emit = np.asarray(eoffs[0][0])
+        assert len(offs) == len(ds[0][0])
+        assert np.all((offs >= 0) & (offs < 12))
+        # the reported frame is never quieter than the emission frame
+        chars = [LABELS.index(ch) for ch in ds[0][0]]
+        for j, c in enumerate(chars):
+            assert probs[0, offs[j], c] >= probs[0, emit[j], c] - 1e-7

@@ -164,3 +164,146 @@ def test_metrics():
     assert wer.compute() == 25.0
     # 1 wrong char of 6+6 non-space chars
     np.testing.assert_allclose(cer.compute(), 100.0 / 12)
+
+
+# ---------------------------------------------------------------------------
+# ctcdecode offsets semantics: brute-force cross-check
+# ---------------------------------------------------------------------------
+
+
+def _naive_ctcdecode(probs, beam_width, blank=0, cutoff_top_n=10**9):
+    """Independent, deliberately-naive reimplementation of ctcdecode's
+    prefix beam search WITH its timestep bookkeeping (parlance/ctcdecode
+    ctc_beam_search_decoder.cpp + path_trie.cpp): prefix-tuple-keyed dicts
+    instead of a trie. Node state (log_prob_c, timestep) updates on every
+    extension attempt from an in-beam parent; pruned beams are marked dead
+    and dead childless chains are deleted (forgetting their state)."""
+    lp = np.log(np.maximum(probs, 1e-30))
+    t_dim, c_dim = lp.shape
+    NEG = -float("inf")
+
+    def lse(a, b):
+        if a == NEG:
+            return b
+        if b == NEG:
+            return a
+        m = max(a, b)
+        return m + math.log(math.exp(a - m) + math.exp(b - m))
+
+    # node store: prefix -> dict(exists, lp_c, ts); mass: prefix -> [pb, pnb]
+    nodes = {(): {"exists": True, "lp_c": NEG, "ts": 0}}
+    mass = {(): [0.0, NEG]}
+    beams = [()]
+
+    def get_path(prefix, c, t, p_c):
+        ext = prefix + (c,)
+        st = nodes.get(ext)
+        if st is None:
+            nodes[ext] = {"exists": True, "lp_c": p_c, "ts": t}
+        else:
+            if st["lp_c"] < p_c:
+                st["lp_c"] = p_c
+                st["ts"] = t
+            st["exists"] = True
+        return ext
+
+    def remove(prefix):
+        st = nodes[prefix]
+        st["exists"] = False
+        has_children = any(k[:-1] == prefix for k in nodes if len(k) == len(prefix) + 1)
+        if not has_children and prefix:
+            del nodes[prefix]
+            parent = prefix[:-1]
+            pst = nodes.get(parent)
+            if pst is not None and not pst["exists"]:
+                remove(parent)
+
+    for t in range(t_dim):
+        row = lp[t]
+        cand = list(np.argsort(row)[::-1][:cutoff_top_n])
+        new_mass = {}
+
+        def bump(prefix, which, val):
+            m = new_mass.setdefault(prefix, [NEG, NEG])
+            m[which] = lse(m[which], val)
+
+        for prefix in beams:
+            pb, pnb = mass[prefix]
+            p_total = lse(pb, pnb)
+            last = prefix[-1] if prefix else -1
+            for c in cand:
+                p_c = float(row[c])
+                if c == blank:
+                    bump(prefix, 0, p_total + p_c)
+                    continue
+                if c == last:
+                    bump(prefix, 1, pnb + p_c)
+                ext = get_path(prefix, int(c), t, p_c)
+                sc = (pb + p_c) if c == last else (p_total + p_c)
+                bump(ext, 1, sc)
+
+        # every live node competes (untouched ones at -inf), top-W survive
+        all_live = [p for p, st in nodes.items() if st["exists"]]
+        scored = []
+        for p in all_live:
+            m = new_mass.get(p, [NEG, NEG])
+            scored.append((lse(m[0], m[1]), p))
+        scored.sort(key=lambda s: s[0], reverse=True)
+        beams = [p for _, p in scored[:beam_width]]
+        mass = {p: new_mass.get(p, [NEG, NEG]) for p in beams}
+        for _, p in scored[beam_width:]:
+            remove(p)
+
+    out = []
+    for p in beams:
+        m = mass[p]
+        offs = tuple(nodes[p[: j + 1]]["ts"] for j in range(len(p)))
+        out.append((p, offs, lse(m[0], m[1])))
+    out.sort(key=lambda r: r[2], reverse=True)
+    return out
+
+
+def test_beam_offsets_match_naive_ctcdecode():
+    """The PathTrie twin (and therefore the C++ beam, which test_cpp_native
+    pins to it exactly) reproduces ctcdecode's quirky timestep semantics:
+    a char's offset is the LOUDEST attempt frame, which can move after the
+    char was first emitted and need not be monotone across the string."""
+    rng = np.random.default_rng(7)
+    dec = BeamCTCDecoder(LABELS, beam_width=12, cutoff_top_n=len(LABELS))
+    dec._cpp = None  # exercise the python twin
+    for trial in range(6):
+        t_dim = int(rng.integers(6, 20))
+        probs = rng.dirichlet(np.full(len(LABELS), 0.5), size=t_dim).astype(np.float32)
+        py = dec._decode_one(probs)
+        naive = _naive_ctcdecode(probs, beam_width=12)
+        assert py[0][0] == naive[0][0], f"trial {trial}: ids differ"
+        assert tuple(py[0][1]) == tuple(naive[0][1]), f"trial {trial}: offsets differ"
+        assert abs(py[0][2] - naive[0][2]) < 1e-6
+
+
+def test_beam_offsets_loudest_frame_rule():
+    """Constructed case: char A emits early but its loudest frame is later
+    while the prefix parent is still in the beam -> the reported offset is
+    the later, louder frame (ctcdecode parity), not the emission frame."""
+    C = len(LABELS)
+    probs = np.full((5, C), 0.01, np.float32)
+    # t0: A likely (emission), t1..t2 blank-ish, t3: A very loud again
+    probs[0, 2] = 0.60   # A
+    probs[0, 0] = 0.35
+    probs[1, 0] = 0.90
+    probs[2, 0] = 0.90
+    probs[3, 2] = 0.95   # louder A attempt (extends "" -> "A" again / "A"->"AA")
+    probs[4, 0] = 0.90
+    probs /= probs.sum(axis=1, keepdims=True)
+    dec = BeamCTCDecoder(LABELS, beam_width=8, cutoff_top_n=C)
+    dec._cpp = None
+    py = dec._decode_one(probs)
+    naive = _naive_ctcdecode(probs, beam_width=8)
+    assert py[0][0] == naive[0][0]
+    assert tuple(py[0][1]) == tuple(naive[0][1])
+    # winner "AA": BOTH chars report frame 3 — the first A emitted at t=0
+    # but its loudest attempt (while "" was still in the beam) is t=3, and
+    # the second A's only strong attempt is t=3 too. Offsets are neither
+    # unique nor monotone: exactly ctcdecode's behavior.
+    assert tuple(py[0][0]) == (2, 2)
+    assert tuple(py[0][1]) == (3, 3)

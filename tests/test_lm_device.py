@@ -123,7 +123,7 @@ def test_device_lm_beam_matches_host_exhaustive(arpa_path):
                                 alpha=alpha, beta=beta)
         ds, _ = dev.decode(probs, sizes)
         lp = jnp.log(jnp.maximum(jnp.asarray(probs), 1e-30))
-        _, _, scores, _ = _beam_scan(lp, jnp.asarray(sizes, jnp.int32),
+        _, _, _, scores, _ = _beam_scan(lp, jnp.asarray(sizes, jnp.int32),
                                      4096, 0, lm=dev._lm,
                                      alpha=jnp.float32(alpha),
                                      beta=jnp.float32(beta), space=5)
@@ -148,7 +148,7 @@ def test_merged_scores_match_host_exhaustive():
     dev = DeviceBeamDecoder(LABELS, beam_width=4096)
     ds, _ = dev.decode(probs, [t, t], n_best=5)
     lp = jnp.log(jnp.maximum(jnp.asarray(probs), 1e-30))
-    _, _, scores, _ = _beam_scan(lp, jnp.full((2,), t, jnp.int32), 4096, 0)
+    _, _, _, scores, _ = _beam_scan(lp, jnp.full((2,), t, jnp.int32), 4096, 0)
     scores = np.asarray(scores)
     for i in range(2):
         res = host._decode_one(probs[i])
