@@ -136,6 +136,11 @@ def spectrogram_jax(yp_batch: jnp.ndarray, n_valid: jnp.ndarray, cfg: SpectConfi
     """
     n_fft, hop, _ = stft_params(cfg)
     window = jnp.asarray(periodic_window(cfg.window, n_fft))
+    if jnp.issubdtype(yp_batch.dtype, jnp.integer):
+        # int16 PCM upload path: the host ships the signal in its native
+        # 16-bit form (halves host->device bytes, the usual input-pipeline
+        # bottleneck) and the dequantize runs on device
+        yp_batch = yp_batch.astype(jnp.float32) * jnp.float32(1.0 / 32768.0)
     return _spectrogram_device(yp_batch, n_valid, window, n_fft, hop, normalize)
 
 

@@ -227,9 +227,11 @@ class EvalConfig(InferenceConfig):
     save_output: str = ""
     batch_size: int = 20
     num_workers: int = 4
-    # compute the STFT inside the jitted eval step (raw audio upload)
-    # instead of on host loader threads
-    device_features: bool = False
+    # compute the STFT inside the jitted eval step (int16 raw-audio upload)
+    # instead of on host loader threads — the TPU-first default; evaluate()
+    # falls back to host features when the spect config can't frame on
+    # device (window overlap != 50%)
+    device_features: bool = True
 
 
 @dataclass

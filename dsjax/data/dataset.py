@@ -118,7 +118,7 @@ def collate_audio(samples: Sequence[Tuple[np.ndarray, int, List[int]]],
     max_l = round_up(max((len(s[2]) for s in samples), default=1) or 1, bucket_labels)
     total = (max_t + 1) * hop
     b_pad = pad_to_batch if pad_to_batch is not None else b
-    audio = np.zeros((b_pad, total), np.float32)
+    audio = np.zeros((b_pad, total), samples[0][0].dtype if b else np.float32)
     input_lengths = np.ones((b_pad,), np.int32)
     targets = np.zeros((b_pad, max_l), np.int32)
     target_lengths = np.zeros((b_pad,), np.int32)
@@ -150,7 +150,8 @@ class SpectrogramDataset:
     def __init__(self, spect_cfg: SpectConfig, input_path: str,
                  labels: Sequence[str], normalize: bool = True,
                  aug_cfg: Optional[AugmentationConfig] = None,
-                 seed: int = 0, device_features: bool = False):
+                 seed: int = 0, device_features: bool = False,
+                 audio_int16: bool = True):
         self.ids = parse_input(input_path)
         self.label_map = LabelMap(labels)
         self.spect_cfg = spect_cfg
@@ -161,6 +162,11 @@ class SpectrogramDataset:
         self.device_features = device_features and not (
             aug_cfg is not None and aug_cfg.spec_augment
             and not aug_cfg.spec_augment_device)
+        # ship raw audio device-ward as native int16 PCM (halves the
+        # host->device transfer, usually the input-pipeline bottleneck;
+        # exact for unaugmented 16-bit sources, ~-90 dB dither otherwise);
+        # spectrogram_jax dequantizes on device
+        self.audio_int16 = audio_int16
 
     def __len__(self) -> int:
         return len(self.ids)
@@ -175,6 +181,8 @@ class SpectrogramDataset:
             from dsjax.audio.features import pad_audio_for_device
 
             yp, n_frames = pad_audio_for_device(y, self.spect_cfg)
+            if self.audio_int16:
+                yp = np.clip(np.rint(yp * 32768.0), -32768, 32767).astype(np.int16)
             return yp, n_frames, transcript
         spect = self.extractor(y)
         if self.augment is not None:

@@ -26,6 +26,13 @@ def main():
 
     import jax
 
+    try:  # persistent compile cache (repeat runs skip XLA compiles)
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                         "/tmp/dsjax_jax_cache"))
+    except Exception:
+        pass
+
     from dsjax.audio.io import save_wav
     from dsjax.config import EvalConfig, TrainConfig, compose
     from dsjax.labels import DEFAULT_LABELS
@@ -62,10 +69,13 @@ def main():
     handler.save(state, {"wer": 1.0})
     handler.close()
 
-    dev_feats = os.environ.get("DSJAX_EVAL_DEVICE_FEATURES", "") not in ("", "0")
+    # device features are the default (EvalConfig.device_features=True);
+    # set DSJAX_EVAL_DEVICE_FEATURES=0 to bench the host-STFT fallback
+    dev_feats = os.environ.get("DSJAX_EVAL_DEVICE_FEATURES", "1") not in ("", "0")
     ecfg = compose(EvalConfig, [
         f"model.model_path={ckpt_dir}", f"test_path={manifest}",
-        "model.precision=16", "verbose=false", "batch_size=16",
+        "model.precision=16", "verbose=false",
+        f"batch_size={os.environ.get('DSJAX_EVAL_BATCH', '16')}",
         f"lm.decoder_type={decoder}",
         f"device_features={'true' if dev_feats else 'false'}",
     ])
