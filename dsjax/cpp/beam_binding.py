@@ -50,9 +50,11 @@ def load_lib() -> ctypes.CDLL:
 
 
 def build_lm_binary(arpa_path: str, out_path: str) -> None:
-    """ARPA text -> mmap-ready DSLMBIN1 binary (KenLM-binary equivalent:
+    """ARPA text -> mmap-ready DSLMBIN2 binary (KenLM-binary equivalent:
     O(1) load, binary-search queries; reference decoder.py:69-74 loads
-    KenLM binaries through ctcdecode)."""
+    KenLM binaries through ctcdecode). v2 also carries the vocab words +
+    n-gram id arrays so the ON-DEVICE beam (lm.device_beam) can pack its
+    HBM tables straight from the binary."""
     rc = load_lib().ds_lm_build_binary(arpa_path.encode(), out_path.encode())
     if rc != 0:
         raise IOError(f"binary LM build failed (code {rc}) for {arpa_path}")

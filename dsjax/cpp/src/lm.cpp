@@ -18,6 +18,12 @@ namespace {
 constexpr double kLog10ToLn = 2.302585092994046;
 constexpr uint32_t kOov = 0xFFFFFFFFu;
 constexpr char kMagic[8] = {'D', 'S', 'L', 'M', 'B', 'I', 'N', '1'};
+// v2 appends (after the v1 sections): a '\n'-joined vocab-words blob and
+// per-order n-gram word-id arrays — enough information to rebuild the
+// ON-DEVICE LM tables (dsjax.decode.lm_device) from the binary, which v1's
+// one-way hashes cannot provide. Host queries ignore the trailing
+// sections, so v2 files load exactly like v1.
+constexpr char kMagic2[8] = {'D', 'S', 'L', 'M', 'B', 'I', 'N', '2'};
 
 std::string join(const std::vector<std::string>& words, size_t start,
                  size_t end) {
@@ -165,7 +171,8 @@ BinaryLM::BinaryLM(const std::string& path) {
   // overflow-safe bounds arithmetic (a corrupt header must fail cleanly,
   // not memcpy gigabytes past the map or wrap `off` back into range)
   const uint8_t* p = (const uint8_t*)map_;
-  if (memcmp(p, kMagic, 8) != 0) return;
+  bool v2 = memcmp(p, kMagic2, 8) == 0;
+  if (!v2 && memcmp(p, kMagic, 8) != 0) return;
   uint32_t order, vocab, unk, reserved;
   memcpy(&order, p + 8, 4);
   memcpy(&vocab, p + 12, 4);
@@ -209,6 +216,21 @@ BinaryLM::BinaryLM(const std::string& path) {
     if (!fits(cnt, 4)) return;
     backoff_[n - 1] = (const float*)(p + off);
     off = align8(off + 4 * cnt);
+  }
+  if (v2) {
+    // validate (but don't use) the device-build sections: words blob
+    // length + per-order id arrays must fit — a corrupt/truncated v2
+    // file must fail cleanly like any other malformed input
+    if (!fits(1, 8)) return;
+    uint64_t words_bytes;
+    memcpy(&words_bytes, p + off, 8);
+    off += 8;
+    if (!fits(words_bytes, 1)) return;
+    off = align8(off + (size_t)words_bytes);
+    for (uint32_t n = 2; n <= order; ++n) {
+      if (!fits(counts_[n - 1], 4 * (size_t)n)) return;
+      off = align8(off + 4 * (size_t)n * (size_t)counts_[n - 1]);
+    }
   }
   if (off > map_len_) return;  // truncated file
   order_ = (int)order;
@@ -280,7 +302,8 @@ std::unique_ptr<Lm> LoadLm(const std::string& path) {
     if (!f.is_open()) return nullptr;
     char head[8] = {0};
     f.read(head, 8);
-    if (f.gcount() == 8 && memcmp(head, kMagic, 8) == 0) {
+    if (f.gcount() == 8 && (memcmp(head, kMagic, 8) == 0 ||
+                            memcmp(head, kMagic2, 8) == 0)) {
       auto lm = std::make_unique<BinaryLM>(path);
       return lm->ok() ? std::unique_ptr<Lm>(std::move(lm)) : nullptr;
     }
@@ -317,7 +340,7 @@ int BuildBinaryLm(const std::string& arpa_path, const std::string& out_path) {
     static const char z[8] = {0};
     if (pos & 7) w(z, 8 - (pos & 7));
   };
-  w(kMagic, 8);
+  w(kMagic2, 8);
   w(&order, 4);
   w(&vocab, 4);
   w(&unk, 4);
@@ -345,13 +368,20 @@ int BuildBinaryLm(const std::string& arpa_path, const std::string& out_path) {
     pad8();
   }
 
+  // per-order sorted word-id sequences, buffered for the v2 trailing
+  // sections (they follow ALL v1 sections so v1-shaped readers can stop
+  // early)
+  std::vector<std::vector<uint32_t>> all_ids(order);
   for (uint32_t n = 2; n <= order; ++n) {
     struct Rec {
       uint64_t key;
       float logp, backoff;
+      uint32_t first_id;  // index into flat id storage / n
     };
     std::vector<Rec> recs;
+    std::vector<uint32_t> flat;
     recs.reserve(src.ngrams_[n - 1].size());
+    flat.reserve(src.ngrams_[n - 1].size() * n);
     std::vector<uint32_t> ids(n);
     for (auto& kv : src.ngrams_[n - 1]) {
       // split the space-joined n-gram back into words -> ids
@@ -373,7 +403,8 @@ int BuildBinaryLm(const std::string& arpa_path, const std::string& out_path) {
       }
       if (!ok || k != n) continue;
       recs.push_back({ngram_key(ids.data(), n), kv.second.logp,
-                      kv.second.backoff});
+                      kv.second.backoff, (uint32_t)(flat.size() / n)});
+      flat.insert(flat.end(), ids.begin(), ids.end());
     }
     std::sort(recs.begin(), recs.end(),
               [](const Rec& a, const Rec& b) { return a.key < b.key; });
@@ -387,14 +418,33 @@ int BuildBinaryLm(const std::string& arpa_path, const std::string& out_path) {
     counts[n - 1] = recs.size();
     std::vector<uint64_t> keys(recs.size());
     std::vector<float> lp(recs.size()), bo(recs.size());
+    std::vector<uint32_t>& sorted_ids = all_ids[n - 1];
+    sorted_ids.resize(recs.size() * n);
     for (size_t i = 0; i < recs.size(); ++i) {
       keys[i] = recs[i].key;
       lp[i] = recs[i].logp;
       bo[i] = recs[i].backoff;
+      memcpy(&sorted_ids[i * n], &flat[(size_t)recs[i].first_id * n], 4 * n);
     }
     w(keys.data(), 8 * keys.size());
     w(lp.data(), 4 * lp.size());
     w(bo.data(), 4 * bo.size());
+    pad8();
+  }
+  // ---- v2 trailing sections: vocab words + per-order id sequences ----
+  {
+    std::string blob;
+    for (uint32_t i = 0; i < vocab; ++i) {
+      if (i) blob.push_back('\n');
+      blob += *vh[i].second;
+    }
+    uint64_t nb = blob.size();
+    w(&nb, 8);
+    w(blob.data(), blob.size());
+    pad8();
+  }
+  for (uint32_t n = 2; n <= order; ++n) {
+    w(all_ids[n - 1].data(), 4 * all_ids[n - 1].size());
     pad8();
   }
   // rewrite counts with any skip-adjusted values

@@ -5,11 +5,16 @@
 // Two implementations behind one interface:
 //   * ArpaLM   — text ARPA parser, string-keyed hash maps (simple, always
 //                available, slow/heavy for large LMs);
-//   * BinaryLM — mmap'd "DSLMBIN1" file (built once from ARPA with
-//                BuildBinaryLm): sorted 64-bit-key arrays per order,
+//   * BinaryLM — mmap'd "DSLMBIN1"/"DSLMBIN2" file (built once from ARPA
+//                with BuildBinaryLm): sorted 64-bit-key arrays per order,
 //                id-indexed unigram tables. Loads in O(1) (page faults on
 //                demand, like KenLM's binary mmap format) and queries by
 //                binary search — the production path for large LMs.
+//                v2 (what BuildBinaryLm now writes) appends the vocab word
+//                strings and per-order n-gram word-id arrays after the v1
+//                sections, so dsjax.decode.lm_device can pack the ON-DEVICE
+//                HBM tables straight from the binary (v1's one-way hashes
+//                cannot support that); host queries ignore the extras.
 #pragma once
 
 #include <cstdint>

@@ -109,6 +109,56 @@ class ArpaLM:
 
 
 BINARY_MAGIC = b"DSLMBIN1"
+BINARY_MAGIC2 = b"DSLMBIN2"  # v1 + vocab words + n-gram id arrays
+
+
+def read_binary_lm_v2(path: str):
+    """Parse a DSLMBIN2 file into numpy arrays (no C++ dependency).
+
+    Returns a dict with: order, words (list[str], id order), unk_id (or
+    None), uni_logp/uni_backoff (float32 [vocab]), and per order n>=2:
+    ids[n] (uint32 [count, n]), logp[n]/backoff[n] (float32 [count]) —
+    everything dsjax.decode.lm_device needs to pack the on-device tables
+    without re-parsing ARPA text."""
+    import numpy as np
+
+    with open(path, "rb") as f:
+        buf = f.read()
+    if buf[:8] != BINARY_MAGIC2:
+        raise ValueError("not a DSLMBIN2 file (v1 binaries carry only "
+                         "one-way hashes; rebuild with "
+                         "tools/build_lm_binary.py for device-beam use)")
+    align8 = lambda x: (x + 7) & ~7
+    order, vocab, unk = np.frombuffer(buf, np.uint32, 3, 8)
+    off = 24
+    counts = np.frombuffer(buf, np.uint64, int(order), off)
+    off = align8(off + 8 * int(order))
+    off += 8 * int(vocab)  # vocab fnv hashes (host lookup only)
+    uni_logp = np.frombuffer(buf, np.float32, int(vocab), off)
+    off += 4 * int(vocab)
+    uni_backoff = np.frombuffer(buf, np.float32, int(vocab), off)
+    off = align8(off + 4 * int(vocab))
+    logp, backoff = {}, {}
+    for n in range(2, int(order) + 1):
+        cnt = int(counts[n - 1])
+        off += 8 * cnt  # keys (host binary search only)
+        logp[n] = np.frombuffer(buf, np.float32, cnt, off)
+        off += 4 * cnt
+        backoff[n] = np.frombuffer(buf, np.float32, cnt, off)
+        off = align8(off + 4 * cnt)
+    (nb,) = np.frombuffer(buf, np.uint64, 1, off)
+    off += 8
+    words = buf[off:off + int(nb)].decode("utf8").split("\n") if nb else []
+    off = align8(off + int(nb))
+    ids = {}
+    for n in range(2, int(order) + 1):
+        cnt = int(counts[n - 1])
+        ids[n] = np.frombuffer(buf, np.uint32, cnt * n, off).reshape(cnt, n)
+        off = align8(off + 4 * cnt * n)
+    return {"order": int(order), "words": words,
+            "unk_id": None if unk == 0xFFFFFFFF else int(unk),
+            "uni_logp": uni_logp, "uni_backoff": uni_backoff,
+            "ids": ids, "logp": logp, "backoff": backoff}
 
 
 class MmapLM:
@@ -130,9 +180,9 @@ class MmapLM:
 
 
 def load_word_lm(path: str):
-    """ARPA text (optionally .gz) -> ArpaLM; DSLMBIN1 binary -> MmapLM."""
+    """ARPA text (optionally .gz) -> ArpaLM; DSLMBIN1/2 binary -> MmapLM."""
     with open(path, "rb") as f:
         head = f.read(8)
-    if head == BINARY_MAGIC:
+    if head in (BINARY_MAGIC, BINARY_MAGIC2):
         return MmapLM(path)
     return ArpaLM(path)

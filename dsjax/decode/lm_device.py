@@ -170,9 +170,16 @@ class DeviceNgramLM:
     SPECIALS = ("<s>", "</s>", "<unk>")
 
     def __init__(self, lm, labels: Sequence[str], blank_index: int = 0):
-        from dsjax.decode.lm import ArpaLM
+        from dsjax.decode.lm import ArpaLM, BINARY_MAGIC2
 
         if isinstance(lm, str):
+            with open(lm, "rb") as f:
+                head = f.read(8)
+            if head == BINARY_MAGIC2:
+                # KenLM-binary-equivalent fast path: pack the device tables
+                # straight from the mmap-shaped v2 binary (no ARPA re-parse)
+                self._init_from_binary(lm, labels, blank_index)
+                return
             lm = ArpaLM(lm)
         self.order = lm.order
         label_map = LabelMap(labels, blank_index)
@@ -220,6 +227,63 @@ class DeviceNgramLM:
                 _fold_ids(ids, FOLD_A1, reserve_empty=True),
                 _fold_ids(ids, FOLD_A2),
                 np.asarray(logps, np.float32), np.asarray(boffs, np.float32)))
+
+    def _init_from_binary(self, path: str, labels: Sequence[str],
+                          blank_index: int) -> None:
+        """Build the device tables from a DSLMBIN2 binary (vectorized —
+        skips the python ARPA parse entirely). Word ids are the binary's
+        own dense ids; n-grams containing specials or label-unformable
+        words stay in the tables but are unreachable, because the vocab
+        table only maps formable plain words (the query side can never
+        produce the other ids) — same miss behavior as the ARPA build."""
+        from dsjax.decode.lm import read_binary_lm_v2
+
+        raw = read_binary_lm_v2(path)
+        self.order = raw["order"]
+        label_map = LabelMap(labels, blank_index)
+        words = raw["words"]
+        assert len(words) < (1 << 24), \
+            "device LM stores word ids in f32 mantissa (vocab < 2^24)"
+        unk_id = raw["unk_id"]
+        self.unk_logp = (float(raw["uni_logp"][unk_id])
+                         if unk_id is not None else -100.0)
+
+        vk1, vk2, vid = [], [], []
+        for wid, w in enumerate(words):
+            if w in self.SPECIALS:
+                continue
+            ids = [label_map.char_to_int.get(ch) for ch in w]
+            if any(i is None for i in ids):
+                continue
+            h1, h2 = int(CHAR_SEED), int(CHAR_SEED)
+            for ci in ids:
+                h1 = (h1 * int(CHAR_A1) + ci + 1) & 0xFFFFFFFF
+                h2 = (h2 * int(CHAR_A2) + ci + 1) & 0xFFFFFFFF
+            if h1 == int(EMPTY_KEY):
+                h1 ^= 1
+            vk1.append(h1)
+            vk2.append(h2)
+            vid.append(wid)
+        self.n_vocab = len(vid)
+        self.vocab = _build_table(np.asarray(vk1, np.uint32),
+                                  np.asarray(vk2, np.uint32),
+                                  np.asarray(vid, np.float32),
+                                  np.zeros(len(vid), np.float32))
+
+        self.tables = []
+        uni_ids = np.arange(len(words), dtype=np.int64)[:, None]
+        self.tables.append(_build_table(
+            _fold_ids(uni_ids, FOLD_A1, reserve_empty=True),
+            _fold_ids(uni_ids, FOLD_A2),
+            raw["uni_logp"].astype(np.float32),
+            raw["uni_backoff"].astype(np.float32)))
+        for n in range(2, self.order + 1):
+            ids = raw["ids"][n].astype(np.int64)
+            self.tables.append(_build_table(
+                _fold_ids(ids, FOLD_A1, reserve_empty=True),
+                _fold_ids(ids, FOLD_A2),
+                raw["logp"][n].astype(np.float32),
+                raw["backoff"][n].astype(np.float32)))
 
     def device(self) -> PackedLM:
         import numpy as _np

@@ -128,8 +128,20 @@ def load_decoder(labels: List[str], cfg: LMConfig, want_offsets: bool = False):
             from dsjax.decode.lm import BINARY_MAGIC
 
             with open(cfg.lm_path, "rb") as f:
-                is_binary = f.read(8) == BINARY_MAGIC
-            if not is_binary:  # binary LMs stay on the host C++ path
+                is_v1_binary = f.read(8) == BINARY_MAGIC
+            if is_v1_binary:
+                # v1 binaries carry only one-way hashes — the device tables
+                # cannot be rebuilt from them. Be loud about the fallback
+                # (the README recommends binary LMs, so silence here would
+                # quietly disable the flagship path).
+                import warnings
+
+                warnings.warn(
+                    "lm.device_beam=true but the LM is a DSLMBIN1 binary: "
+                    "falling back to the host C++ beam. Rebuild the binary "
+                    "with tools/build_lm_binary.py (writes DSLMBIN2, which "
+                    "the device beam can load) or pass the ARPA file.")
+            else:  # ARPA text or DSLMBIN2 — both build device tables
                 from dsjax.decode.beam_device import DeviceBeamDecoder
 
                 return DeviceBeamDecoder(labels, beam_width=cfg.beam_width,

@@ -77,7 +77,7 @@ def test_binary_lm_matches_text(tmp_path):
     p.write_text(ARPA)
     b = tmp_path / "t.bin"
     cpp.build_lm_binary(str(p), str(b))
-    assert b.read_bytes()[:8] == b"DSLMBIN1"
+    assert b.read_bytes()[:8] == b"DSLMBIN2"  # v2: + device-build sections
     text = cpp.CppLM(str(p))
     binary = cpp.CppLM(str(b))
     assert binary.order == text.order == 2
