@@ -85,6 +85,14 @@ class BatchWorker(threading.Thread):
         self.running = True
         self._sessions: dict = {}
         self._sessions_lock = threading.Lock()
+        # chunked long-audio requests run on this side pool so a single
+        # 10-minute upload never stalls the batched short-request traffic
+        # behind it (the device interleaves the two streams; the batch
+        # thread keeps collecting while chunks decode)
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._long_pool = ThreadPoolExecutor(
+            max_workers=2, thread_name_prefix="dsjax-long")
 
     def submit(self, req: _Request) -> None:
         self.queue.put(req)
@@ -132,7 +140,7 @@ class BatchWorker(threading.Thread):
                              if len(r.audio) > self.cfg.chunk_size_seconds
                              * self.bundle.spect_cfg.sample_rate]
                 for r in long_reqs:
-                    self._process_chunked(r)
+                    self._long_pool.submit(self._process_chunked, r)
                 batch = [r for r in batch if r not in long_reqs]
                 if not batch:
                     return
@@ -194,15 +202,26 @@ class BatchWorker(threading.Thread):
                           / max(sess.feat_count - 1, 1), 0.0)
                 std = max(np.sqrt(var), 1e-10)
                 spect = ((raw - mean) / std)[None].astype(np.float32)
-                lens = np.array([spect.shape[2]], np.int32)
-                probs, _, sess.carry = self.bundle.forward(spect, lens,
-                                                           sess.carry)
+                t_true = spect.shape[2]
+                # bucket the chunk's frame count like the batch path: a
+                # client sending variable-length (e.g. VAD-gated) chunks
+                # must not trigger one XLA compile per novel length (the
+                # RNN carry freezes at the true length, so the padding is
+                # inert; outputs past out_len are sliced off below)
+                t_pad = ((t_true + 63) // 64) * 64
+                if t_pad > t_true:
+                    spect = np.pad(spect, ((0, 0), (0, 0),
+                                           (0, t_pad - t_true)))
+                lens = np.array([t_true], np.int32)
+                probs, out_lens, sess.carry = self.bundle.forward(
+                    spect, lens, sess.carry)
+                probs = np.asarray(probs)[:, : int(np.asarray(out_lens)[0])]
                 if hasattr(self.decoder, "decode_chunk"):
                     # streaming BEAM search (optionally LM-fused on device):
                     # the beam state carries across chunks, so the running
                     # transcript equals a one-shot beam decode so far
                     sess.text, sess.beam_state = self.decoder.decode_chunk(
-                        np.asarray(probs), sess.beam_state)
+                        probs, sess.beam_state)
                 else:
                     # incremental greedy collapse over this chunk only
                     # (host beam decoders cannot stream; /stream degrades
@@ -210,7 +229,7 @@ class BatchWorker(threading.Thread):
                     int_to_char = getattr(self.decoder, "int_to_char", None)
                     if int_to_char is None:
                         int_to_char = self.decoder.label_map.int_to_char
-                    for lbl in np.argmax(np.asarray(probs)[0], axis=-1):
+                    for lbl in np.argmax(probs[0], axis=-1):
                         lbl = int(lbl)
                         if lbl != blank and lbl != sess.prev_label:
                             sess.text += int_to_char[lbl]
@@ -230,9 +249,17 @@ class BatchWorker(threading.Thread):
                 if len(chunk) == 0:
                     continue
                 spect = self.extractor(chunk)[None]
-                lens = np.array([spect.shape[2]], np.int32)
-                probs, _, carry = self.bundle.forward(spect, lens, carry)
-                outs.append(np.asarray(probs))
+                t_true = spect.shape[2]
+                # bucket the (variable) final chunk's frame count so each
+                # distinct file length doesn't compile a fresh shape
+                t_pad = ((t_true + 63) // 64) * 64
+                if t_pad > t_true:
+                    spect = np.pad(spect, ((0, 0), (0, 0),
+                                           (0, t_pad - t_true)))
+                lens = np.array([t_true], np.int32)
+                probs, out_lens, carry = self.bundle.forward(spect, lens,
+                                                             carry)
+                outs.append(np.asarray(probs)[:, : int(np.asarray(out_lens)[0])])
             all_out = np.concatenate(outs, axis=1)
             decoded, offsets = self.decoder.decode(all_out)
             req.result = decode_results([decoded[0]], [offsets[0]])

@@ -319,3 +319,37 @@ def test_streaming_session_beam_decoder(tmp_path):
                                          carry)
         text, state = dec.decode_chunk(np.asarray(probs), state)
     assert out2["transcription"] == text
+
+
+def test_stream_variable_chunks_share_one_shape():
+    """Variable-length /stream chunks must bucket to a shared padded frame
+    count (one compiled shape), not one XLA compile per novel length."""
+    cfg = ServerConfig()
+    model = DeepSpeech2(num_classes=len(DEFAULT_LABELS), spect_cfg=SpectConfig(),
+                        model_cfg=BiDirectionalConfig(hidden_size=16,
+                                                      hidden_layers=1))
+    x = jnp.zeros((1, 161, 32), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, jnp.array([32]),
+                           train=False)
+    bundle = ModelBundle(model, variables, list(DEFAULT_LABELS), SpectConfig())
+    seen_shapes = set()
+    orig_forward = bundle.forward
+
+    def counting_forward(spect, lengths, carry=None):
+        seen_shapes.add(tuple(np.asarray(spect).shape))
+        return orig_forward(spect, lengths, carry)
+
+    bundle.forward = counting_forward
+    worker = BatchWorker(bundle, GreedyDecoder(DEFAULT_LABELS), cfg)
+    sr = 16000
+    rng = np.random.default_rng(0)
+    texts = []
+    # chunk durations vary over ~0.9-1.27s: frame counts 91..128 all pad
+    # to the same 128-frame bucket
+    for i, secs in enumerate([0.9, 1.0, 1.1, 1.2, 0.95, 1.27]):
+        y = (0.1 * rng.standard_normal(int(sr * secs))).astype(np.float32)
+        out = worker.stream_chunk("varlen", y, final=(i == 5))
+        texts.append(out["transcription"])
+    assert len(seen_shapes) == 1, seen_shapes
+    (shape,) = seen_shapes
+    assert shape[2] == 128

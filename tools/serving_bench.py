@@ -169,8 +169,158 @@ def main_http():
     worker.running = False
 
 
+def main_mixed():
+    """Mixed-traffic serving: short batched requests racing long chunked
+    uploads plus a variable-chunk /stream session. Reports short-request
+    p50/p99 WITH and WITHOUT a long upload in flight (the long request
+    runs on the side pool, so it must not stall the batch), and per-chunk
+    /stream latencies (bucketed chunk shapes -> no recompile storm).
+    Usage: python tools/serving_bench.py --mixed
+    """
+    import http.client
+    import json as _json
+    import tempfile
+    import threading
+    from http.server import ThreadingHTTPServer
+
+    import numpy as np
+
+    from dsjax.audio.io import save_wav
+    from dsjax.config import ServerConfig
+    from dsjax.decode.greedy import GreedyDecoder
+    from dsjax.inference import ModelBundle, load_model
+    from dsjax.server import BatchWorker, make_handler
+
+    clients = int(os.environ.get("DSJAX_SERVE_CLIENTS", "4"))
+    ckpt = os.environ.get("DSJAX_SERVE_CKPT", "")
+    long_seconds = float(os.environ.get("DSJAX_SERVE_LONG_SECONDS", "32"))
+
+    cfg = ServerConfig()
+    cfg.max_batch = max(8, clients)
+    cfg.chunk_size_seconds = SECONDS  # longer uploads go down the chunked path
+    if ckpt:
+        bundle = load_model(ckpt, precision=16)
+    else:
+        model = DeepSpeech2(num_classes=len(DEFAULT_LABELS),
+                            spect_cfg=SpectConfig(),
+                            model_cfg=BiDirectionalConfig(hidden_size=1024,
+                                                          hidden_layers=5),
+                            dtype=jnp.bfloat16)
+        variables = init_model(model, jax.random.PRNGKey(0), batch=2, frames=64)
+        bundle = ModelBundle(model, variables, list(DEFAULT_LABELS), SpectConfig())
+    cfg.warmup_seconds = SECONDS
+    worker = BatchWorker(bundle, GreedyDecoder(bundle.labels), cfg)
+    print("warming up compiled shapes...")
+    worker.warmup()
+    worker.start()
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(worker, cfg))
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+
+    sr = bundle.spect_cfg.sample_rate
+    rng = np.random.default_rng(0)
+
+    def wav_bytes(seconds):
+        n = int(sr * seconds)
+        y = (0.1 * np.sin(2 * np.pi * 330 * np.arange(n) / sr)
+             + 0.01 * rng.standard_normal(n)).astype(np.float32)
+        with tempfile.NamedTemporaryFile(suffix=".wav", delete=False) as f:
+            path = f.name
+        save_wav(path, y, sr)
+        data = open(path, "rb").read()
+        os.unlink(path)
+        return data
+
+    boundary = "servingbench"
+
+    def multipart(payload):
+        return ((f"--{boundary}\r\nContent-Disposition: form-data; "
+                 f"name=\"file\"; filename=\"u.wav\"\r\n"
+                 f"Content-Type: audio/wav\r\n\r\n").encode()
+                + payload + f"\r\n--{boundary}--\r\n".encode())
+
+    headers = {"Content-Type": f"multipart/form-data; boundary={boundary}"}
+    short_body = multipart(wav_bytes(SECONDS * 0.98))
+    long_body = multipart(wav_bytes(long_seconds))
+
+    def post(path, body):
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=600)
+        t0 = time.perf_counter()
+        conn.request("POST", path, body=body, headers=headers)
+        r = conn.getresponse()
+        _json.loads(r.read())
+        assert r.status == 200, r.status
+        return time.perf_counter() - t0
+
+    post("/transcribe", short_body)  # warm
+    post("/transcribe", long_body)   # warm the chunked path shapes
+
+    def run_shorts(n_per_client):
+        lat, lock = [], threading.Lock()
+
+        def client():
+            for _ in range(n_per_client):
+                d = post("/transcribe", short_body)
+                with lock:
+                    lat.append(d)
+
+        ts = [threading.Thread(target=client) for _ in range(clients)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        lat.sort()
+        q = lambda p: lat[min(len(lat) - 1, int(p * len(lat)))] * 1000
+        return q(0.5), q(0.99)
+
+    p50_base, p99_base = run_shorts(4)
+    print(f"mixed: shorts alone           p50 {p50_base:.0f} ms  "
+          f"p99 {p99_base:.0f} ms")
+
+    long_done = threading.Event()
+    long_lat = [0.0]
+
+    def long_client():
+        long_lat[0] = post("/transcribe", long_body)
+        long_done.set()
+
+    lt = threading.Thread(target=long_client)
+    lt.start()
+    p50_mix, p99_mix = run_shorts(4)
+    lt.join()
+    print(f"mixed: shorts + long in-flight p50 {p50_mix:.0f} ms  "
+          f"p99 {p99_mix:.0f} ms  (long {long_lat[0]:.1f} s; "
+          f"blocked-batch would push p50 toward the long's latency)")
+
+    # variable-chunk /stream: chunk durations vary but share one bucketed
+    # shape -> after the first chunk no further compiles
+    chunk_secs = [0.9, 1.05, 1.2, 0.95, 1.28, 1.1, 1.0, 1.15] * 2
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=600)
+    per_chunk = []
+    for i, cs in enumerate(chunk_secs):
+        payload = wav_bytes(cs)
+        t0 = time.perf_counter()
+        final = "1" if i == len(chunk_secs) - 1 else "0"
+        conn.request("POST", f"/stream?session=mixed&final={final}",
+                     body=payload, headers={"Content-Type": "audio/wav"})
+        r = conn.getresponse()
+        _json.loads(r.read())
+        assert r.status == 200
+        per_chunk.append(time.perf_counter() - t0)
+    head = per_chunk[0] * 1000
+    rest = sorted(per_chunk[1:])
+    print(f"mixed: /stream variable chunks first {head:.0f} ms, then "
+          f"p50 {rest[len(rest) // 2] * 1000:.0f} ms  "
+          f"max {rest[-1] * 1000:.0f} ms over {len(rest)} chunks "
+          f"(no per-length recompiles)")
+    httpd.shutdown()
+    worker.running = False
+
+
 if __name__ == "__main__":
     if "--http" in sys.argv:
         main_http()
+    elif "--mixed" in sys.argv:
+        main_mixed()
     else:
         main()
