@@ -99,11 +99,17 @@ def _beam_scan(log_probs: jnp.ndarray, sizes: jnp.ndarray, beam_width: int,
     ph1_0 = jnp.zeros((b_dim, w), jnp.int32)
     ph2_0 = jnp.zeros((b_dim, w), jnp.int32)
     cw = 1 if lm is None else max(1, lm.order - 1)
+    nbo = 0 if lm is None else max(0, lm.order - 1)
     lm0 = (jnp.full((b_dim, w), CHAR_SEED, jnp.uint32),     # cur-word hash 1
            jnp.full((b_dim, w), CHAR_SEED, jnp.uint32),     # cur-word hash 2
            jnp.full((b_dim, w, cw), WID_ABSENT, jnp.int32),  # context ids
            jnp.zeros((b_dim, w), bool),                      # in_word
-           jnp.zeros((b_dim, w), jnp.float32))               # last-word bonus
+           jnp.zeros((b_dim, w), jnp.float32),               # last-word bonus
+           # carried backoffs of the context's suffixes (see
+           # lm_device.score_word_ln: probing them per step is the
+           # avoidable half of the LM probe traffic); 0 = absent entry,
+           # correct for the empty initial context
+           jnp.zeros((b_dim, w, nbo), jnp.float32))
 
     classes = jnp.arange(c_dim)
     slot_iota = jnp.arange(w)[None, :]
@@ -112,7 +118,7 @@ def _beam_scan(log_probs: jnp.ndarray, sizes: jnp.ndarray, beam_width: int,
 
     def step(carry, inp):
         (p_b, p_nb, last, h1, h2, ph1, ph2), lm_state = carry
-        cur1, cur2, ctx, in_word, memo = lm_state
+        cur1, cur2, ctx, in_word, memo, ctx_bos = lm_state
         lp_t, t = inp
         total = jnp.logaddexp(p_b, p_nb)                # (B, W)
 
@@ -158,7 +164,8 @@ def _beam_scan(log_probs: jnp.ndarray, sizes: jnp.ndarray, beam_width: int,
             # current partial word against the beam's word history; with no
             # partial word, re-score the previous word (host-twin parity:
             # prefix.split() skips empty tokens) via the memoized bonus
-            score_ln, wid = score_word_ln(lm, cur1, cur2, ctx)
+            score_ln, wid, new_bos_cand = score_word_ln(lm, cur1, cur2, ctx,
+                                                        ctx_bos)
             has_words = ctx[..., -1] != WID_ABSENT
             bonus_new = alpha * score_ln + beta
             bonus = jnp.where(in_word, bonus_new,
@@ -278,6 +285,9 @@ def _beam_scan(log_probs: jnp.ndarray, sizes: jnp.ndarray, beam_width: int,
             p_ctx = jnp.take_along_axis(ctx, parent[..., None], axis=1)
             p_in, p_memo = pick(in_word), pick(memo)
             p_bonus_new, p_wid = pick(bonus_new), pick(wid)
+            p_bos = jnp.take_along_axis(ctx_bos, parent[..., None], axis=1)
+            p_newbos = jnp.take_along_axis(new_bos_cand, parent[..., None],
+                                           axis=1)
             is_stay = char < 0
             is_space = char == space
             cu = (jnp.maximum(char, 0) + 1).astype(jnp.uint32)
@@ -294,9 +304,13 @@ def _beam_scan(log_probs: jnp.ndarray, sizes: jnp.ndarray, beam_width: int,
                                                  p_wid[..., None]], -1),
                                 p_ctx)
             new_memo = jnp.where(complete, p_bonus_new, p_memo)
+            # the completed word's own probe backoffs become the new
+            # context-suffix carries
+            new_ctx_bos = jnp.where(complete[..., None], p_newbos, p_bos)
         else:
             new_cur1, new_cur2 = cur1, cur2
             new_ctx, new_in, new_memo = ctx, in_word, memo
+            new_ctx_bos = ctx_bos
 
         # frames past each utterance's length leave the state unchanged
         act = (t < sizes)[:, None]
@@ -311,7 +325,8 @@ def _beam_scan(log_probs: jnp.ndarray, sizes: jnp.ndarray, beam_width: int,
                     jnp.where(act, new_cur2, cur2),
                     jnp.where(act[..., None], new_ctx, ctx),
                     jnp.where(act, new_in, in_word),
-                    jnp.where(act, new_memo, memo))
+                    jnp.where(act, new_memo, memo),
+                    jnp.where(act[..., None], new_ctx_bos, ctx_bos))
         bp = jnp.where(act, parent, slot_iota)
         em = jnp.where(act, char, -1)
         # post-step beam hashes stream out so ctcdecode-parity offsets can
@@ -330,8 +345,8 @@ def _beam_scan(log_probs: jnp.ndarray, sizes: jnp.ndarray, beam_width: int,
         # trailing-word finalization (host twin: prefix nonempty and not
         # ending in space gains one more word bonus); display-only — the
         # returned carry stays bonus-free so streaming can continue
-        cur1, cur2, ctx, in_word, _ = lm_state
-        score_ln, _ = score_word_ln(lm, cur1, cur2, ctx)
+        cur1, cur2, ctx, in_word, _, ctx_bos = lm_state
+        score_ln, _, _ = score_word_ln(lm, cur1, cur2, ctx, ctx_bos)
         totals = totals + jnp.where(in_word, alpha * score_ln + beta, 0.0)
     return backptr, emit, (h1_seq, h2_seq), totals, carry
 

@@ -44,10 +44,15 @@ CHAR_SEED = np.uint32(1)
 FOLD_A1 = np.uint32(2654435761)
 FOLD_A2 = np.uint32(2246822519)
 FOLD_SEED = np.uint32(2166136261)
-# slot-index mixers
+# bucket-index mixers (two independent choices per key)
 MIX1 = np.uint32(0x9E3779B1)
 MIX2 = np.uint32(0x85EBCA6B)
+MIX1B = np.uint32(0xC2B2AE35)
+MIX2B = np.uint32(0x27D4EB2F)
 EMPTY_KEY = np.uint32(0xFFFFFFFF)
+BUCKET = 4  # slots per bucket: one probe = two 4-row contiguous gathers
+# (two-choice balancing keeps mean bucket load ~2 at table load 0.5, so
+# D=4 virtually never overflows; the builder grows the table if it does)
 
 WID_OOV = -1      # word exists but is not in the LM vocab
 WID_ABSENT = -2   # no word at this context position yet
@@ -55,6 +60,10 @@ WID_ABSENT = -2   # no word at this context position yet
 
 def _mix_index(k1, k2, mask):
     return ((k1 * MIX1) ^ (k2 * MIX2)) & mask
+
+
+def _mix_index_b(k1, k2, mask):
+    return ((k1 * MIX1B) ^ (k2 * MIX2B)) & mask
 
 
 def _fold_ids(ids: np.ndarray, mult: np.uint32,
@@ -75,16 +84,22 @@ def _fold_ids(ids: np.ndarray, mult: np.uint32,
 
 @register_pytree_node_class
 class HashTable:
-    """Linear-probing table: data (S, 4) uint32 = [key1, key2,
-    bitcast(f32 val0), bitcast(f32 val1)]; depth = probe window (static)."""
+    """Two-choice bucketed table: data (n_buckets * BUCKET, 4) uint32 =
+    [key1, key2, bitcast(f32 val0), bitcast(f32 val1)]; every key lives in
+    one of TWO candidate buckets (_mix_index / _mix_index_b), so a query
+    is exactly two contiguous BUCKET-row gathers — a FIXED 2*BUCKET*16-byte
+    fetch, unlike linear probing whose worst-case cluster (measured 28-42
+    rows at 50% load over millions of keys) set the probe window.
+    ``depth`` = BUCKET (kept for aux-data compatibility)."""
 
-    def __init__(self, data, depth: int):
+    def __init__(self, data, depth: int = BUCKET):
         self.data = data
         self.depth = int(depth)
 
     @property
     def mask(self) -> int:
-        return len(self.data) - 1
+        """Bucket-index mask (n_buckets - 1)."""
+        return len(self.data) // BUCKET - 1
 
     def tree_flatten(self):
         return (self.data,), self.depth
@@ -96,38 +111,58 @@ class HashTable:
 
 def _build_table(k1: np.ndarray, k2: np.ndarray, v0: np.ndarray,
                  v1: np.ndarray) -> HashTable:
-    """Bulk linear-probing insertion (vectorized rounds: each round places
-    every entry that is first in line for a vacant slot, the rest advance)."""
+    """Bulk two-choice bucket insertion (vectorized): start everyone in
+    their first-choice bucket, then iteratively move overflow entries to
+    their second choice; grow the table and retry if both overflow (load
+    <= 0.5 makes that essentially impossible for real LMs)."""
     n = len(k1)
-    size = 1 << max(3, int(np.ceil(np.log2(max(1, n) * 2))))
-    mask = size - 1
-    data = np.zeros((size, 4), np.uint32)
-    data[:, 0] = EMPTY_KEY
+    k1 = np.asarray(k1, np.uint32)
+    k2 = np.asarray(k2, np.uint32)
     v0u = np.asarray(v0, np.float32).view(np.uint32)
     v1u = np.asarray(v1, np.float32).view(np.uint32)
-    pos = _mix_index(k1, k2, np.uint32(mask)).astype(np.int64)
-    pending = np.arange(n)
-    rounds = 0
-    while pending.size:
-        rounds += 1
-        p = pos[pending]
-        # stable first-occurrence of each slot among pending entries
-        order = np.argsort(p, kind="stable")
-        ps = p[order]
-        first = np.ones(len(ps), bool)
-        first[1:] = ps[1:] != ps[:-1]
-        is_first = np.empty(len(ps), bool)
-        is_first[order] = first
-        place = is_first & (data[p, 0] == EMPTY_KEY)
-        idx = pending[place]
-        data[pos[idx], 0] = k1[idx]
-        data[pos[idx], 1] = k2[idx]
-        data[pos[idx], 2] = v0u[idx]
-        data[pos[idx], 3] = v1u[idx]
-        pending = pending[~place]
-        pos[pending] = (pos[pending] + 1) & mask
-    # an entry placed in round r sits r-1 slots past its home index
-    return HashTable(data, max(1, rounds))
+    n_buckets = 1 << max(3, int(np.ceil(np.log2(max(1, n) * 2 / BUCKET))))
+    while True:
+        mask = np.uint32(n_buckets - 1)
+        ba = _mix_index(k1, k2, mask).astype(np.int64)
+        bb = _mix_index_b(k1, k2, mask).astype(np.int64)
+        choice = np.zeros(n, bool)  # False = bucket a, True = bucket b
+        ok = False
+        for _ in range(40):
+            cur = np.where(choice, bb, ba)
+            counts = np.bincount(cur, minlength=n_buckets)
+            if counts.max(initial=0) <= BUCKET:
+                ok = True
+                break
+            # rank entries within their current bucket; move the excess
+            # (rank >= BUCKET) that still sit in their FIRST choice over
+            # to their second choice
+            order = np.argsort(cur, kind="stable")
+            ranks = np.empty(n, np.int64)
+            seg_start = np.zeros(n_buckets, np.int64)
+            seg_start[1:] = np.cumsum(counts)[:-1]
+            ranks[order] = np.arange(n) - seg_start[cur[order]]
+            move = (ranks >= BUCKET) & ~choice
+            if not move.any():
+                ok = False  # overflow of second choices too
+                break
+            choice |= move
+        if ok:
+            break
+        n_buckets *= 2
+    cur = np.where(choice, bb, ba)
+    order = np.argsort(cur, kind="stable")
+    counts = np.bincount(cur, minlength=n_buckets)
+    seg_start = np.zeros(n_buckets, np.int64)
+    seg_start[1:] = np.cumsum(counts)[:-1]
+    slot = np.empty(n, np.int64)
+    slot[order] = (np.arange(n) - seg_start[cur[order]]) + cur[order] * BUCKET
+    data = np.zeros((n_buckets * BUCKET, 4), np.uint32)
+    data[:, 0] = EMPTY_KEY
+    data[slot, 0] = k1
+    data[slot, 1] = k2
+    data[slot, 2] = v0u
+    data[slot, 3] = v1u
+    return HashTable(data, BUCKET)
 
 
 @register_pytree_node_class
@@ -309,22 +344,36 @@ class DeviceNgramLM:
 # ----------------------------------------------------------------------
 
 
+def _bucket_slots(k1, k2, mask, base=0):
+    """(..., 2, BUCKET) int32 row indices of a key's two candidate
+    buckets (contiguous BUCKET-row windows). When both choices land on
+    the same bucket the second window is redirected to the next bucket:
+    the key is stored at most once, so the redirected window cannot
+    false-hit, and it keeps the windows disjoint so the callers'
+    masked-SUM hit select never double-counts."""
+    import jax.numpy as jnp
+
+    ia = ((k1 * MIX1) ^ (k2 * MIX2)) & mask
+    ib = ((k1 * MIX1B) ^ (k2 * MIX2B)) & mask
+    ib = jnp.where(ib == ia, (ia + 1) & mask, ib)
+    starts = jnp.stack([ia, ib], -1).astype(jnp.int32) * BUCKET + base
+    return starts[..., None] + jnp.arange(BUCKET, dtype=jnp.int32)
+
+
 def _probe(table: HashTable, k1, k2):
     """(found, val0, val1) for key (k1, k2); any leading batch shape."""
     import jax.numpy as jnp
 
-    mask = jnp.uint32(table.mask)
-    idx = ((k1 * MIX1) ^ (k2 * MIX2)) & mask
-    offs = jnp.arange(table.depth, dtype=jnp.uint32)
-    slots = ((idx[..., None] + offs) & mask).astype(jnp.int32)
-    rows = table.data[slots]                            # (..., D, 4)
-    hit = (rows[..., 0] == k1[..., None]) & (rows[..., 1] == k2[..., None])
-    found = hit.any(-1)
-    j = jnp.argmax(hit, -1)[..., None, None]
-    vals = jnp.take_along_axis(rows, j, -2)[..., 0, :]  # (..., 4)
-    v0 = jax_bitcast_f32(vals[..., 2])
-    v1 = jax_bitcast_f32(vals[..., 3])
-    return found, v0, v1
+    slots = _bucket_slots(k1, k2, jnp.uint32(table.mask))
+    rows = table.data[slots]                            # (..., 2, B, 4)
+    hit = ((rows[..., 0] == k1[..., None, None])
+           & (rows[..., 1] == k2[..., None, None]))
+    found = hit.any((-2, -1))
+    # a key is stored at most once across its two buckets: a masked sum
+    # selects the hit without an argmax+gather
+    pick = lambda v: jnp.sum(jnp.where(hit, v, 0.0), axis=(-2, -1))
+    return found, pick(jax_bitcast_f32(rows[..., 2])), \
+        pick(jax_bitcast_f32(rows[..., 3]))
 
 
 def jax_bitcast_f32(x):
@@ -366,58 +415,93 @@ def _probe_packed(lm: PackedLM, probes):
     per probe; k1/k2/valid share a batch shape. Returns a list of
     (found, val0, val1) per probe. XLA gathers have a large fixed cost on
     TPU, so folding the 2*order-1 per-step probes into a single gather is
-    ~Jx cheaper than J separate table gathers."""
+    ~Jx cheaper than J separate table gathers; two-choice bucketing keeps
+    every probe at a FIXED 2*BUCKET rows (linear probing's worst-case
+    cluster was the HBM random-access bottleneck)."""
     import jax.numpy as jnp
 
-    dmax = max(lm.depths[ti] for ti, *_ in probes)
-    offs = jnp.arange(dmax, dtype=jnp.uint32)
     slots = []
     for ti, k1, k2, _ in probes:
-        mask = jnp.uint32(lm.masks[ti])
-        idx = ((k1 * MIX1) ^ (k2 * MIX2)) & mask
-        sl = (((idx[..., None] + offs) & mask).astype(jnp.int32)
-              + lm.bases[ti])
-        slots.append(sl)
-    slots = jnp.stack(slots, axis=-2)              # (..., J, Dmax)
-    rows = lm.ngrams[slots]                        # (..., J, Dmax, 4)
+        slots.append(_bucket_slots(k1, k2, jnp.uint32(lm.masks[ti]),
+                                   lm.bases[ti]))
+    slots = jnp.stack(slots, axis=-3)              # (..., J, 2, B)
+    rows = lm.ngrams[slots]                        # (..., J, 2, B, 4)
     out = []
     for j, (ti, k1, k2, valid) in enumerate(probes):
-        r = rows[..., j, :, :]
-        hit = ((r[..., 0] == k1[..., None]) & (r[..., 1] == k2[..., None])
-               & (offs < lm.depths[ti]))
-        found = hit.any(-1) & valid
-        # at most one hit per window (keys are unique per table): a
-        # masked sum selects it without an argmax+gather
-        pick = lambda v: jnp.sum(jnp.where(hit, v, 0.0), axis=-1)
+        r = rows[..., j, :, :, :]
+        hit = ((r[..., 0] == k1[..., None, None])
+               & (r[..., 1] == k2[..., None, None]))
+        found = hit.any((-2, -1)) & valid
+        # at most one hit across the two buckets (keys are unique per
+        # table): a masked sum selects it without an argmax+gather
+        pick = lambda v: jnp.sum(jnp.where(hit, v, 0.0), axis=(-2, -1))
         out.append((found, pick(jax_bitcast_f32(r[..., 2])),
                     pick(jax_bitcast_f32(r[..., 3]))))
     return out
 
 
-def score_word_ln(lm: PackedLM, cur1, cur2, ctx):
-    """ln P(word | context) plus the word's id.
+def score_word_ln(lm: PackedLM, cur1, cur2, ctx, ctx_bos=None):
+    """ln P(word | context) plus the word's id and (optionally) the
+    backoff carries a beam should adopt if this word completes.
 
     cur1/cur2: rolling char hashes of the word (any batch shape);
     ctx: (..., order-1) int32 context word ids, oldest -> newest
-    (WID_ABSENT where history is shorter). Mirrors ArpaLM._score."""
+    (WID_ABSENT where history is shorter). Mirrors ArpaLM._score.
+
+    ctx_bos: (..., order-1) float32 CARRIED context backoffs —
+    ctx_bos[..., j] = backoff weight (log10; 0 when the entry is absent)
+    of the length-(j+1) suffix of ``ctx``. A beam's context changes only
+    at word completions, and the backoffs of the NEW context's suffixes
+    (which all end in the completed word w) are exactly the backoff
+    outputs of w's own full probes of orders 1..order-1 — so carrying
+    them halves the per-step probe traffic: only the ``order`` full
+    probes run each step, none of the context-backoff probes. When
+    ctx_bos is None (host-side tests / one-shot scoring) the backoffs
+    are probed explicitly.
+
+    Returns (score_ln, wid, new_bos) where new_bos (..., order-1) are the
+    carries for a beam that commits this word (new_bos[..., j] = backoff
+    of (ctx[-(j):] + w), i.e. of the new context's length-(j+1) suffix).
+    """
     import jax.numpy as jnp
 
     wid = vocab_lookup(lm, cur1, cur2)
     probes = []                                    # table idx is static
     k1, k2, v = _fold_ids_jnp([wid])
     probes.append((0, k1, k2, v))
+    full_valid = [v]
     for n in range(2, lm.order + 1):
         ctx_n = [ctx[..., -(j + 1)] for j in range(n - 2, -1, -1)]
-        kc1, kc2, vc = _fold_ids_jnp(ctx_n)        # backoff(context)
-        probes.append((n - 2, kc1, kc2, vc))
+        if ctx_bos is None:
+            kc1, kc2, vc = _fold_ids_jnp(ctx_n)    # backoff(context)
+            probes.append((n - 2, kc1, kc2, vc))
         kf1, kf2, vf = _fold_ids_jnp(ctx_n + [wid])
         probes.append((n - 1, kf1, kf2, vf))
+        full_valid.append(vf)
     res = _probe_packed(lm, probes)
-    f1, p1, _ = res[0]
+
+    if ctx_bos is None:
+        f1, p1, b1 = res[0]
+        fulls = [res[0]] + [res[i + 1] for i in range(1, len(res), 2)]
+        ctx_bo_vals = []
+        for i in range(1, len(res), 2):
+            cf, _, cb = res[i]
+            ctx_bo_vals.append(jnp.where(cf, cb, 0.0))
+    else:
+        fulls = res
+        ctx_bo_vals = [ctx_bos[..., j] for j in range(lm.order - 1)]
+
+    f1, p1, _ = fulls[0]
     s = jnp.where(f1, p1, lm.unk_logp)
-    for i in range(1, len(res), 2):
-        cf, _, cb = res[i]
-        f, p, _ = res[i + 1]
-        bo = jnp.where(cf, cb, 0.0)
-        s = jnp.where(f, p, bo + s)
-    return s * LOG10_TO_LN, wid
+    for n in range(2, lm.order + 1):
+        f, p, _ = fulls[n - 1]
+        s = jnp.where(f, p, ctx_bo_vals[n - 2] + s)
+    # backoff carries for the would-be new context (all suffixes end in
+    # w): full probe of order j supplies suffix length j
+    if lm.order > 1:
+        new_bos = jnp.stack(
+            [jnp.where(fulls[j][0], fulls[j][2], 0.0)
+             for j in range(lm.order - 1)], axis=-1)
+    else:
+        new_bos = jnp.zeros(wid.shape + (0,), jnp.float32)
+    return s * LOG10_TO_LN, wid, new_bos

@@ -87,7 +87,7 @@ def test_packed_scorer_matches_arpa(arpa_path):
             want = host.score_word_ln(w, ctx)
             ids = [wid(c) for c in ctx]
             ids = ([WID_ABSENT] * (dev.order - 1) + ids)[-(dev.order - 1):]
-            got, _ = score_word_ln(packed, *_char_hash(w, lmap),
+            got, _, _ = score_word_ln(packed, *_char_hash(w, lmap),
                                    jnp.asarray(ids, jnp.int32))
             assert abs(want - float(got)) < 1e-5, (w, ctx, want, float(got))
 
@@ -294,7 +294,7 @@ def test_packed_tables_at_scale():
                     jnp.uint32),
         jnp.asarray([int(_char_hash(words[i], lmap)[1]) for i in sample[:, k]],
                     jnp.uint32))) for k in (1, 2)], axis=-1)
-    got, _ = score_word_ln(packed, h1, h2, jnp.asarray(ctx_ids, jnp.int32))
+    got, _, _ = score_word_ln(packed, h1, h2, jnp.asarray(ctx_ids, jnp.int32))
     got = np.asarray(got)
     for j in range(len(sample)):
         w = words[sample[j, 0]]
@@ -378,7 +378,7 @@ def test_device_lm_from_binary_v2_matches_arpa(arpa_path, tmp_path):
             want = host.score_word_ln(w, ctx)
             ids = [wid(c) for c in ctx]
             ids = ([WID_ABSENT] * (dev_bin.order - 1) + ids)[-(dev_bin.order - 1):]
-            got, _ = score_word_ln(packed, *_char_hash(w, lmap),
+            got, _, _ = score_word_ln(packed, *_char_hash(w, lmap),
                                    jnp.asarray(ids, jnp.int32))
             assert abs(want - float(got)) < 1e-5, (w, ctx, want, float(got))
 
