@@ -17,6 +17,11 @@ Env knobs:
                          [T/2, T] and target lengths over [L/2, L] (honest
                          padding/mask overhead, vs the best-case uniform
                          batch)
+  DSJAX_BENCH_RAGGED_SPLIT=K  split each ragged batch into K length-
+                         quantile sub-batches per optimizer step (grads
+                         summed; the input pipeline's data.ragged_split
+                         twin) — trades small-batch kernel efficiency for
+                         much less padding compute
 
 Methodology: the local TPU is reached through a tunnel whose per-call input
 transfer dominates wall-clock and whose block_until_ready is asynchronous,
@@ -42,6 +47,7 @@ import numpy as np
 BATCH = int(os.environ.get("DSJAX_BENCH_BATCH", "64"))
 SECONDS = float(os.environ.get("DSJAX_BENCH_SECONDS", "10.24"))
 RAGGED = os.environ.get("DSJAX_BENCH_RAGGED", "") not in ("", "0")
+RAGGED_SPLIT = int(os.environ.get("DSJAX_BENCH_RAGGED_SPLIT", "1"))
 
 HIDDEN, LAYERS, LBL = 1024, 5, 256
 
@@ -86,6 +92,14 @@ def chip_peak_flops() -> float:
 def build_program(n_steps: int):
     import jax
     import jax.numpy as jnp
+
+    try:  # persistent compile cache: skip the multi-minute single-core
+        # XLA compiles on repeat runs (affects compile time only)
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                         "/tmp/dsjax_jax_cache"))
+    except Exception:
+        pass
 
     from dsjax.config import TrainConfig, compose
     from dsjax.labels import DEFAULT_LABELS
@@ -135,17 +149,41 @@ def build_program(n_steps: int):
                            step=jnp.zeros((), jnp.int32),
                            epoch=jnp.zeros((), jnp.int32))
 
-        def one_step(state, _):
-            def loss_fn(params):
-                (out, out_lens, _), mut = model.apply(
-                    {"params": params, "batch_stats": state.batch_stats},
-                    inputs, input_lengths, train=True, mutable=["batch_stats"])
-                logp = jax.nn.log_softmax(out.astype(jnp.float32), axis=-1)
-                loss = ctc_loss(logp, out_lens, targets, target_lengths,
-                                reduction="sum")
-                return loss, mut["batch_stats"]
+        # length-quantile sub-batches: rows are length-sorted desc, so
+        # contiguous row blocks share similar lengths; each block pads only
+        # to ITS OWN bucketed max — one optimizer step sums their grads
+        # (the input pipeline's data.ragged_split does the same to real
+        # batches)
+        k_split = RAGGED_SPLIT if RAGGED else 1
+        sub = B // k_split
+        subs = []
+        for k in range(k_split):
+            rows = slice(k * sub, (k + 1) * sub)
+            t_k = int(-(-int(in_lens[rows].max()) // 64) * 64)  # 64-frame bucket
+            subs.append((rows, min(t_k, T)))
 
-            (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        def one_step(state, _):
+            def sub_grads(params, stats, rows, t_k):
+                def loss_fn(p):
+                    (out, out_lens, _), mut = model.apply(
+                        {"params": p, "batch_stats": stats},
+                        inputs[rows, :, :t_k], input_lengths[rows],
+                        train=True, mutable=["batch_stats"])
+                    logp = jax.nn.log_softmax(out.astype(jnp.float32), axis=-1)
+                    loss = ctc_loss(logp, out_lens, targets[rows],
+                                    target_lengths[rows], reduction="sum")
+                    return loss, mut["batch_stats"]
+
+                return jax.value_and_grad(loss_fn, has_aux=True)(params)
+
+            grads = None
+            loss = 0.0
+            stats = state.batch_stats
+            for rows, t_k in subs:
+                (l_k, stats), g_k = sub_grads(state.params, stats, rows, t_k)
+                loss = loss + l_k
+                grads = g_k if grads is None else jax.tree_util.tree_map(
+                    jnp.add, grads, g_k)
             opt_state = set_lr(state.opt_state, epoch_lr(cfg.optim, state.epoch))
             updates, opt_state = tx.update(grads, opt_state, state.params)
             params = jax.tree_util.tree_map(lambda p, u: p + u, state.params, updates)
@@ -181,6 +219,8 @@ def main():
     mfu = utt_per_sec * flops_per_utt / chip_peak_flops()
     baseline_a100_utt_s = 90.0  # see module docstring
     tag = "_ragged" if RAGGED else ""
+    if RAGGED and RAGGED_SPLIT > 1:
+        tag += f"_split{RAGGED_SPLIT}"
     print(json.dumps({
         "metric": f"train_throughput_ds2_5x1024_b{BATCH}_t{int(SECONDS * 100)}{tag}",
         "value": round(utt_per_sec, 2),

@@ -88,6 +88,13 @@ class DataConfig:
     # TPU-specific: pad time axis up to multiples of this many STFT frames so
     # XLA sees a bounded set of shapes (bounds recompilation).
     bucket_frames: int = 128
+    # split each training batch into this many length-quantile sub-batches
+    # per optimizer step (grads summed — one step of identical math apart
+    # from per-sub-batch BN statistics, the same trade DDP makes per
+    # replica). Collate sorts by length, so each block pads only to its
+    # own bucketed max: cuts padding compute when in-batch length spread
+    # is wide (unsorted corpora / ragged streams). 1 = off.
+    ragged_split: int = 1
     # cap on target length per bucketed batch (chars); 0 = derive from data
     bucket_labels: int = 256
     prefetch_batches: int = 2           # device prefetch depth

@@ -354,18 +354,26 @@ class Trainer:
             timer.start()
             accum = max(1, cfg.trainer.accumulate_grad_batches)
             micro: List[Batch] = []
+            micro_batches = 0
             for i, batch in enumerate(train_pipeline):
                 if i >= n_train:
                     break
                 global_step = int(np.asarray(state.step)) if cfg.trainer.profile else -1
                 if cfg.trainer.profile and global_step == cfg.trainer.profile_start_step:
                     jax.profiler.start_trace(cfg.trainer.profile_dir)
+                # ragged_split pipelines yield each batch as a list of
+                # length-quantile sub-batches -> one summed-grad step
+                subs = batch if isinstance(batch, list) else [batch]
                 if accum > 1:
-                    micro.append(batch)
-                    if len(micro) < accum and i + 1 < n_train:
+                    micro.extend(subs)
+                    micro_batches += 1
+                    if micro_batches < accum and i + 1 < n_train:
                         continue
                     state, loss = self.train_step_accum(state, micro)
                     micro = []
+                    micro_batches = 0
+                elif len(subs) > 1:
+                    state, loss = self.train_step_accum(state, subs)
                 else:
                     state, loss = self.train_step(state, batch)
                 if (cfg.trainer.profile and global_step
@@ -397,7 +405,8 @@ class Trainer:
                         last_only=True)
                 if (i + 1) % max(1, cfg.trainer.log_every_n_steps) == 0:
                     loss_val = float(loss)  # device sync only when logging
-                    timer.tick(batch.size * max(1, cfg.trainer.log_every_n_steps))
+                    timer.tick(sum(b.size for b in subs)
+                               * max(1, cfg.trainer.log_every_n_steps))
                     log_fn(f"epoch {epoch} step {i + 1}/{n_train} "
                            f"loss {loss_val:.3f} "
                            f"({timer.utterances_per_sec:.1f} utt/s)")

@@ -54,12 +54,13 @@ def _pipelines(cfg: TrainConfig, labels: List[str], dp: int
     # multiple of the data-axis shards this host owns (dp // n_proc)
     local_dp = max(1, dp // n_proc)
     pad_b = -(-cfg.data.batch_size // local_dp) * local_dp
-    mk = lambda ds, sampler: DataPipeline(
+    mk = lambda ds, sampler, split: DataPipeline(
         ds, sampler, bucket_frames=cfg.data.bucket_frames,
         bucket_labels=cfg.data.bucket_labels,
         num_workers=cfg.data.num_workers, prefetch=cfg.data.prefetch_batches,
-        pad_to_batch=pad_b)
-    return mk(train_ds, train_sampler), mk(val_ds, val_sampler)
+        pad_to_batch=pad_b, ragged_split=split)
+    return (mk(train_ds, train_sampler, cfg.data.ragged_split),
+            mk(val_ds, val_sampler, 1))
 
 
 def train(cfg: TrainConfig) -> None:

@@ -148,3 +148,41 @@ def test_train_step_with_device_augment(dataset_dir):
     state = trainer.init_state()
     state, loss = trainer.train_step(state, batch)
     assert np.isfinite(float(loss))
+
+
+def test_ragged_split_pipeline_and_step(dataset_dir):
+    """data.ragged_split: the pipeline yields length-quantile sub-batches
+    (each padded to its own bucketed max) and the trainer folds them into
+    one summed-grad optimizer step."""
+    cfg = compose(TrainConfig, [
+        "model.hidden_size=16", "model.hidden_layers=1",
+        "trainer.precision=32", "data.batch_size=4",
+        "data.bucket_frames=16", "data.bucket_labels=4",
+        "data.ragged_split=2",
+    ])
+    ds = SpectrogramDataset(cfg.data.spect, dataset_dir, DEFAULT_LABELS,
+                            device_features=True)
+    pipe = DataPipeline(ds, OrderedBatchSampler(len(ds), 4), bucket_frames=16,
+                        bucket_labels=4, num_workers=1, pad_to_batch=4,
+                        ragged_split=cfg.data.ragged_split)
+    batch = next(iter(pipe))
+    assert isinstance(batch, list) and len(batch) == 2
+    longs, shorts = batch
+    assert longs.size == shorts.size == 2  # pad_to_batch split across blocks
+    lmin = longs.input_lengths[longs.valid].min()
+    smax = shorts.input_lengths[shorts.valid].max()
+    assert lmin >= smax  # length-partitioned blocks
+    # shorter block pads to a smaller bucketed signal length
+    assert shorts.audio.shape[1] <= longs.audio.shape[1]
+
+    import jax as _jax
+
+    from dsjax.parallel.mesh import make_mesh
+
+    trainer = Trainer(cfg, DEFAULT_LABELS,
+                      mesh=make_mesh(1, 1, devices=_jax.devices()[:1]))
+    state = trainer.init_state()
+    step0 = int(np.asarray(state.step))
+    state, loss = trainer.train_step_accum(state, batch)
+    assert np.isfinite(float(loss))
+    assert int(np.asarray(state.step)) == step0 + 1  # ONE optimizer step
