@@ -311,7 +311,12 @@ def _vjp_bwd(interpret, residuals, cotangents):
     dhp = jnp.concatenate(
         [dxp32[:, :, : 2 * h_dim],
          dxp32[:, :, 2 * h_dim:] * r_traj.astype(jnp.float32)], axis=-1)
+    # see lstm_pallas: h_prev must read h0 (not the zero-masked y) until
+    # the first valid step, for suffix-shaped masks with nonzero carry
     h_prev = jnp.concatenate([h0[None], y[:-1]], axis=0)
+    seen_valid = (jnp.cumsum(mask, axis=0) - mask) > 0
+    h_prev = jnp.where(seen_valid[..., None], h_prev,
+                       h0[None].astype(h_prev.dtype))
     dw = jax.lax.dot_general(
         h_prev.reshape(t_dim * b_dim, -1), dhp.reshape(t_dim * b_dim, g3),
         (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)

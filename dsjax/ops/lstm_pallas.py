@@ -393,10 +393,16 @@ def _vjp_bwd(interpret, residuals, cotangents):
         g_seq, mask, w_hh, c0,
         c_seq, dy.astype(g_seq.dtype), dh_T.astype(h0.dtype),
         dc_T.astype(c0.dtype), interpret)
-    # dW/db as ONE large MXU reduction over (T*B) rows; h_prev sequence is
-    # (h0, y[:-1]) — y equals the carried h at every step where dgates != 0.
+    # dW/db as ONE large MXU reduction over (T*B) rows; h_prev is the
+    # CARRIED h entering each step: y[t-1] once a valid step has occurred
+    # (masked y equals the carry there), else h0 — the "else" matters for
+    # suffix-shaped masks (time-flipped padded streams) with a nonzero
+    # initial carry, where y reads 0 while the carry holds h0.
     t_dim, b_dim, g4 = dgates.shape
     h_prev = jnp.concatenate([h0[None], y[:-1]], axis=0)
+    seen_valid = (jnp.cumsum(mask, axis=0) - mask) > 0      # (T, B)
+    h_prev = jnp.where(seen_valid[..., None], h_prev,
+                       h0[None].astype(h_prev.dtype))
     dw = jax.lax.dot_general(
         h_prev.reshape(t_dim * b_dim, -1),
         dgates.reshape(t_dim * b_dim, g4),
