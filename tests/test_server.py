@@ -353,3 +353,48 @@ def test_stream_variable_chunks_share_one_shape():
     assert len(seen_shapes) == 1, seen_shapes
     (shape,) = seen_shapes
     assert shape[2] == 128
+
+
+def test_long_upload_rides_side_pool_not_batch():
+    """A chunked long-audio request must run on the side pool: the short
+    requests in the same collected batch get their results even while the
+    long request's chunked decode is still in flight (pre-fix, _process
+    decoded every long request inline before touching the batch)."""
+    from dsjax.server import _Request
+
+    cfg = ServerConfig()
+    cfg.chunk_size_seconds = 1.0  # anything longer than 1s goes chunked
+    model = DeepSpeech2(num_classes=len(DEFAULT_LABELS), spect_cfg=SpectConfig(),
+                        model_cfg=BiDirectionalConfig(hidden_size=16,
+                                                      hidden_layers=1))
+    x = jnp.zeros((1, 161, 32), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, jnp.array([32]),
+                           train=False)
+    bundle = ModelBundle(model, variables, list(DEFAULT_LABELS), SpectConfig())
+    worker = BatchWorker(bundle, GreedyDecoder(DEFAULT_LABELS), cfg)
+
+    gate = threading.Event()
+    entered = threading.Event()
+    orig_chunked = worker._process_chunked
+
+    def gated_chunked(req):
+        entered.set()
+        assert gate.wait(timeout=30.0)
+        return orig_chunked(req)
+
+    worker._process_chunked = gated_chunked
+    sr = 16000
+    long_req = _Request((0.05 * np.sin(
+        np.arange(int(sr * 2.5)) * 0.1)).astype(np.float32))
+    short_req = _Request((0.05 * np.sin(
+        np.arange(int(sr * 0.4)) * 0.13)).astype(np.float32))
+    worker._process([long_req, short_req])
+    # the short completed inline even though the long decode is gated shut
+    assert short_req.event.is_set()
+    assert short_req.error is None and short_req.result is not None
+    assert entered.wait(timeout=30.0)   # long landed on the side pool
+    assert not long_req.event.is_set()  # ...and is genuinely still running
+    gate.set()
+    assert long_req.event.wait(timeout=60.0)
+    assert long_req.error is None and long_req.result is not None
+    worker._long_pool.shutdown(wait=True)

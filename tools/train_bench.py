@@ -20,6 +20,17 @@ tunnel (this dev box: ~44 MB/s), e2e is transfer-bound and upload_utt_s
 ~= e2e_utt_s; on a co-located TPU host (PCIe/DMA, GBs/s) the transfer
 term vanishes and e2e -> min(host_utt_s, step_utt_s).
 
+It also reports the HONEST ragged numbers for the duration mix it was
+given: ``pad_efficiency`` (algorithmic FLOPs on real frames / FLOPs the
+padded batches actually compute, over a full epoch of batches) and
+``step_mfu`` (real-frame FLOPs per second of the compiled step, measured
+over staged batches sampled across the epoch's length range — so short
+AND long batches are represented). Run with a wide duration spread
+(e.g. DSJAX_BENCH_SEC_MIN=2 DSJAX_BENCH_SEC_MAX=16) to measure what
+duration-sorted bin sampling actually achieves on a realistic corpus,
+and with DSJAX_BENCH_SHUFFLE=1 to measure the pathological unsorted
+floor on the same data.
+
 Env knobs:
   DSJAX_BENCH_BATCH=N     batch size            (default 64)
   DSJAX_BENCH_UTTS=N      dataset size          (default 512)
@@ -27,6 +38,9 @@ Env knobs:
   DSJAX_BENCH_AUG=0       disable on-device SpecAugment (default on)
   DSJAX_BENCH_EPOCHS=N    timed epochs          (default 3)
   DSJAX_BENCH_DATA=dir    dataset cache dir     (default /tmp/dsjax_train_bench)
+  DSJAX_BENCH_SHUFFLE=1   fully-shuffled batches (ignore duration sorting)
+  DSJAX_BENCH_HOST_ONLY=1 stop after the host-pipeline + padding-efficiency
+                          stage (no device work — cheap large-corpus runs)
 """
 
 from __future__ import annotations
@@ -50,6 +64,8 @@ DATA_DIR = os.environ.get("DSJAX_BENCH_DATA", "/tmp/dsjax_train_bench")
 HIDDEN = int(os.environ.get("DSJAX_BENCH_HIDDEN", "1024"))
 LAYERS = int(os.environ.get("DSJAX_BENCH_LAYERS", "5"))
 PRECISION = int(os.environ.get("DSJAX_BENCH_PRECISION", "16"))
+SHUFFLE = os.environ.get("DSJAX_BENCH_SHUFFLE", "") not in ("", "0")
+HOST_ONLY = os.environ.get("DSJAX_BENCH_HOST_ONLY", "") not in ("", "0")
 
 WORDS = ("THE QUICK BROWN FOX JUMPS OVER LAZY DOG SPEECH MODEL TRAINING "
          "BENCHMARK AUDIO SIGNAL FRAME BATCH DEVICE KERNEL").split()
@@ -121,6 +137,11 @@ def main() -> None:
     from dsjax.labels import DEFAULT_LABELS
     from dsjax.train.loop import Trainer
 
+    import bench as _bench  # repo-root FLOPs model: single source of truth
+    _bench.HIDDEN, _bench.LAYERS = HIDDEN, LAYERS
+    flops_of = _bench.model_train_flops_per_utt
+    peak = _bench.chip_peak_flops()
+
     manifest = make_dataset(DATA_DIR)
     overrides = [
         f"model.hidden_size={HIDDEN}", f"model.hidden_layers={LAYERS}",
@@ -138,30 +159,75 @@ def main() -> None:
                             aug_cfg=cfg.data.augmentation if AUG else None,
                             seed=cfg.seed, device_features=True)
     assert ds.device_features, "benchmark requires the raw-audio device path"
-    sampler = BucketBatchSampler(len(ds), BATCH, seed=cfg.seed)
+    if SHUFFLE:
+        class _ShuffledSampler(BucketBatchSampler):
+            """Pathological contrast: fully-shuffled batches that ignore
+            the duration-sorted manifest order (what a naive random
+            sampler pays in padding)."""
+
+            def __iter__(self):
+                rng = np.random.default_rng(self.seed + self.epoch)
+                order = rng.permutation(self.dataset_size)
+                for i in range(0, len(order), self.batch_size):
+                    yield [int(j) for j in order[i:i + self.batch_size]]
+
+        sampler = _ShuffledSampler(len(ds), BATCH, seed=cfg.seed)
+    else:
+        sampler = BucketBatchSampler(len(ds), BATCH, seed=cfg.seed)
+
+    from dsjax.audio.features import stft_params
+    hop = stft_params(cfg.data.spect)[1]
+    def batch_flops(batch):
+        """(real, padded) algorithmic train FLOPs for one padded batch."""
+        valid = batch.valid_mask.astype(bool)
+        real = float(sum(flops_of(int(t))
+                         for t in batch.input_lengths[valid]))
+        pad_t = (batch.audio.shape[1] // hop - 1 if batch.audio is not None
+                 else batch.inputs.shape[-1])
+        return real, batch.size * flops_of(int(pad_t))
+
     mk_pipe = lambda: DataPipeline(
         ds, sampler, bucket_frames=cfg.data.bucket_frames,
         bucket_labels=cfg.data.bucket_labels,
         num_workers=cfg.data.num_workers,
         prefetch=cfg.data.prefetch_batches, pad_to_batch=BATCH)
 
-    trainer = Trainer(cfg, list(DEFAULT_LABELS))
-    state = trainer.init_state()
+    if not HOST_ONLY:
+        trainer = Trainer(cfg, list(DEFAULT_LABELS))
+        state = trainer.init_state()
 
     # --- host pipeline alone (measure AFTER OS page cache is warm) -------
     for _ in mk_pipe():
         pass
+    n_batches = (len(ds) + BATCH - 1) // BATCH
+    cache_stride = max(1, n_batches // 4)
     t0 = time.perf_counter()
     n = 0
-    cached_batches = []
-    for batch in mk_pipe():
+    cached_batches = []   # sampled ACROSS the epoch so the staged-step
+    real_fl = pad_fl = 0.0  # measurement sees short and long batches alike
+    for bi, batch in enumerate(mk_pipe()):
         n += int(batch.valid_mask.sum())
-        if len(cached_batches) < 4:
+        r, p = batch_flops(batch)
+        real_fl += r
+        pad_fl += p
+        if bi % cache_stride == 0 and len(cached_batches) < 4:
             cached_batches.append(batch)
     host_dt = time.perf_counter() - t0
     host_rate = n / host_dt
+    pad_eff = real_fl / pad_fl
     print(f"# host pipeline: {host_rate:.1f} utt/s "
           f"({n} utts in {host_dt:.2f}s)", flush=True)
+    print(f"# padding efficiency: {pad_eff:.3f} (real/computed FLOPs over "
+          f"{n_batches} batches, durations {SEC_MIN}-{SEC_MAX}s, "
+          f"{'SHUFFLED' if SHUFFLE else 'duration-sorted bins'})", flush=True)
+    if HOST_ONLY:
+        print(json.dumps({
+            "metric": f"train_host_pipeline_b{BATCH}",
+            "value": round(host_rate, 2), "unit": "utterances/sec",
+            "sec_min": SEC_MIN, "sec_max": SEC_MAX, "shuffle": SHUFFLE,
+            "n_utts": N_UTTS, "pad_efficiency": round(pad_eff, 4),
+        }))
+        return
 
     # --- upload alone ----------------------------------------------------
     args0 = trainer.put_batch(cached_batches[0])
@@ -195,16 +261,23 @@ def main() -> None:
     n_steps = 12
     state, loss = trainer.train_step(state, cached_batches[0])  # warm key
     sync_scalar(loss)
+    step_real_fl = step_utts = 0.0
     t0 = time.perf_counter()
     for i in range(n_steps):
+        b = cached_batches[i % len(staged)]
         args = staged[i % len(staged)]
         key = (args[0].shape, args[2].shape)
         state, loss = trainer._compiled[key](state, *args)
+        step_real_fl += batch_flops(b)[0]
+        step_utts += float(b.valid_mask.sum())
     sync_scalar(loss)
-    step_dt = (time.perf_counter() - t0) / n_steps
-    step_rate = BATCH / step_dt
+    step_wall = time.perf_counter() - t0
+    step_dt = step_wall / n_steps
+    step_rate = step_utts / step_wall
+    step_mfu = step_real_fl / step_wall / peak
     print(f"# device step: {step_rate:.1f} utt/s "
-          f"({step_dt * 1000:.0f} ms/step)", flush=True)
+          f"({step_dt * 1000:.0f} ms/step, honest MFU {step_mfu:.3f} "
+          f"over {len(staged)} epoch-spread batch shapes)", flush=True)
 
     # --- the real end-to-end loop ----------------------------------------
     t0 = time.perf_counter()
@@ -231,6 +304,11 @@ def main() -> None:
         "batch": BATCH,
         "augment": AUG,
         "mb_per_batch": round(bytes_per_batch / 1e6, 1),
+        "sec_min": SEC_MIN,
+        "sec_max": SEC_MAX,
+        "shuffle": SHUFFLE,
+        "pad_efficiency": round(pad_eff, 4),
+        "step_mfu": round(step_mfu, 4),
     }))
 
 
