@@ -97,7 +97,12 @@ class DataConfig:
     ragged_split: int = 1
     # cap on target length per bucketed batch (chars); 0 = derive from data
     bucket_labels: int = 256
-    prefetch_batches: int = 2           # device prefetch depth
+    prefetch_batches: int = 2           # host-side collated-batch prefetch
+    # stage put_batch on a background thread so the host->device transfer
+    # of batch i+1 overlaps the device step on batch i (single-process
+    # runs only: multi-process put_batch does a cross-host collective
+    # that must stay on the main thread). 0 = off.
+    device_prefetch: int = 2
 
 
 @dataclass

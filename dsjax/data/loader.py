@@ -99,3 +99,73 @@ class DataPipeline:
             if isinstance(item, BaseException):
                 raise item
             yield item
+
+
+class DevicePrefetcher:
+    """Overlap host->device transfer with device compute.
+
+    Wraps a batch iterable: a background thread runs ``put_fn(batch)``
+    (Trainer.put_batch — host numpy -> sharded device arrays) up to
+    ``depth`` batches ahead, so the transfer of batch i+1 rides under the
+    device step on batch i. Without this the train loop serializes
+    put_batch and step dispatch in one thread, and on transfer-bound
+    hosts the device idles for the whole upload (the torch analog is
+    DataLoader's pin_memory + non_blocking H2D copies, which the
+    reference never wires up).
+
+    Yields ``(batch, staged)`` pairs; ``staged`` is None for list-valued
+    items (ragged_split sub-batch lists go through the accum path, which
+    stages per sub-batch). Single-process only at the call site:
+    put_batch in multi-process mode runs a cross-host shape allgather,
+    and a background thread's collectives could interleave with the main
+    thread's (validation fetches, metric sums) in different orders on
+    different hosts.
+    """
+
+    def __init__(self, iterable, put_fn, depth: int = 2):
+        self.iterable = iterable
+        self.put_fn = put_fn
+        self.depth = max(1, depth)
+        self._stop = False
+
+    def close(self) -> None:
+        """Ask the producer to stop after its current item (for early
+        exit from a partially-consumed epoch)."""
+        self._stop = True
+
+    def __iter__(self):
+        q: "queue.Queue" = queue.Queue(maxsize=self.depth)
+        sentinel = object()
+
+        def producer():
+            try:
+                for batch in self.iterable:
+                    if self._stop:
+                        break
+                    staged = None if isinstance(batch, list) else self.put_fn(batch)
+                    q.put((batch, staged))
+                    if self._stop:
+                        break
+            except BaseException as e:
+                q.put(e)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            self._stop = True
+            # unblock a producer stuck on a full queue
+            while True:
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break

@@ -228,8 +228,11 @@ class Trainer:
         state = self.apply_grads(state, acc, len(batches))
         return state, losses[-1]
 
-    def train_step(self, state: TrainState, batch: Batch) -> Tuple[TrainState, jax.Array]:
-        args = self.put_batch(batch)
+    def train_step(self, state: TrainState, batch: Batch,
+                   staged=None) -> Tuple[TrainState, jax.Array]:
+        """One optimizer step. ``staged`` short-circuits put_batch with
+        device arrays a DevicePrefetcher already transferred."""
+        args = staged if staged is not None else self.put_batch(batch)
         key = (args[0].shape, args[2].shape)
         if key not in self._compiled:
             sh = self.state_shardings(state)
@@ -355,8 +358,23 @@ class Trainer:
             accum = max(1, cfg.trainer.accumulate_grad_batches)
             micro: List[Batch] = []
             micro_batches = 0
-            for i, batch in enumerate(train_pipeline):
+            # stage uploads ahead of the step (single-process only: the
+            # multi-process put_batch collective must stay on this thread)
+            dp_depth = int(getattr(cfg.data, "device_prefetch", 0))
+            use_dp = (dp_depth > 0 and accum == 1
+                      and jax.process_count() == 1)
+            if use_dp:
+                from dsjax.data.loader import DevicePrefetcher
+
+                train_iter = DevicePrefetcher(train_pipeline, self.put_batch,
+                                              depth=dp_depth)
+            else:
+                train_iter = train_pipeline
+            for i, item in enumerate(train_iter):
+                batch, staged = item if use_dp else (item, None)
                 if i >= n_train:
+                    if use_dp:
+                        train_iter.close()
                     break
                 global_step = int(np.asarray(state.step)) if cfg.trainer.profile else -1
                 if cfg.trainer.profile and global_step == cfg.trainer.profile_start_step:
@@ -375,7 +393,7 @@ class Trainer:
                 elif len(subs) > 1:
                     state, loss = self.train_step_accum(state, subs)
                 else:
-                    state, loss = self.train_step(state, batch)
+                    state, loss = self.train_step(state, batch, staged=staged)
                 if (cfg.trainer.profile and global_step
                         == cfg.trainer.profile_start_step + cfg.trainer.profile_num_steps):
                     jax.block_until_ready(loss)

@@ -209,3 +209,70 @@ def test_tempo_gain_pipeline():
     spec = np.abs(np.random.default_rng(0).standard_normal((161, 80))).astype(np.float32)
     spec2 = pipe.apply_spectrogram(spec)
     assert spec2.shape == spec.shape
+
+
+def test_device_prefetcher_order_and_staging():
+    from dsjax.data.loader import DevicePrefetcher
+
+    items = list(range(10))
+    put_calls = []
+
+    def put_fn(b):
+        put_calls.append(b)
+        return ("staged", b)
+
+    out = list(DevicePrefetcher(items, put_fn, depth=2))
+    assert [b for b, _ in out] == items            # order preserved
+    assert [s for _, s in out] == [("staged", b) for b in items]
+    assert put_calls == items                      # staged exactly once each
+
+
+def test_device_prefetcher_list_batches_not_staged():
+    from dsjax.data.loader import DevicePrefetcher
+
+    # ragged_split pipelines yield lists; those go down the accum path,
+    # which stages per sub-batch itself
+    items = [[1, 2], 3, [4, 5]]
+    out = list(DevicePrefetcher(items, lambda b: ("staged", b), depth=2))
+    assert out[0] == ([1, 2], None)
+    assert out[1] == (3, ("staged", 3))
+    assert out[2] == ([4, 5], None)
+
+
+def test_device_prefetcher_early_exit_stops_producer():
+    import time as _time
+
+    from dsjax.data.loader import DevicePrefetcher
+
+    staged = []
+
+    def put_fn(b):
+        staged.append(b)
+        return b
+
+    pf = DevicePrefetcher(iter(range(1000)), put_fn, depth=2)
+    it = iter(pf)
+    next(it)
+    pf.close()
+    it.close()  # generator finalizer drains and unblocks the producer
+    _time.sleep(0.2)
+    n = len(staged)
+    _time.sleep(0.2)
+    assert len(staged) == n        # producer actually stopped
+    assert n <= 6                  # bounded read-ahead, not the whole range
+
+
+def test_device_prefetcher_propagates_errors():
+    import pytest as _pytest
+
+    from dsjax.data.loader import DevicePrefetcher
+
+    def gen():
+        yield 1
+        raise RuntimeError("boom")
+
+    out = []
+    with _pytest.raises(RuntimeError, match="boom"):
+        for b, s in DevicePrefetcher(gen(), lambda b: b):
+            out.append(b)
+    assert out == [1]

@@ -280,15 +280,32 @@ def main() -> None:
           f"over {len(staged)} epoch-spread batch shapes)", flush=True)
 
     # --- the real end-to-end loop ----------------------------------------
-    t0 = time.perf_counter()
-    n = 0
-    for ep in range(EPOCHS):
-        sampler.set_epoch(ep + 1)
-        for batch in mk_pipe():
-            state, loss = trainer.train_step(state, batch)
-            n += int(batch.valid_mask.sum())
-    sync_scalar(loss)
-    e2e_dt = time.perf_counter() - t0
+    from dsjax.data.loader import DevicePrefetcher
+
+    def run_e2e(device_prefetch: bool):
+        nonlocal state
+        t0 = time.perf_counter()
+        n = 0
+        for ep in range(EPOCHS):
+            sampler.set_epoch(ep + 1)
+            if device_prefetch:
+                it = DevicePrefetcher(mk_pipe(), trainer.put_batch)
+            else:
+                it = ((b, None) for b in mk_pipe())
+            for batch, staged in it:
+                _, loss = trainer.train_step(state, batch, staged=staged)
+                state = _
+                n += int(batch.valid_mask.sum())
+        sync_scalar(loss)
+        return n, time.perf_counter() - t0
+
+    if os.environ.get("DSJAX_BENCH_E2E_AB", "") not in ("", "0"):
+        # same-process A/B: shares one tunnel session, so the comparison
+        # is not confounded by run-to-run tunnel bandwidth variance
+        n0, dt0 = run_e2e(False)
+        print(f"# e2e (no device prefetch): {n0 / dt0:.1f} utt/s "
+              f"({n0} utts in {dt0:.2f}s)", flush=True)
+    n, e2e_dt = run_e2e(True)
     e2e_rate = n / e2e_dt
     print(f"# e2e: {e2e_rate:.1f} utt/s ({n} utts in {e2e_dt:.2f}s)",
           flush=True)
