@@ -160,9 +160,22 @@ def evaluate(cfg: EvalConfig) -> Tuple[float, float]:
                 print(f"Ref:  {r}\nHyp:  {t}\n")
         return n_real
 
-    for batch in pipe:
+    # stage uploads ahead: the transfer of batch k+1 rides under the
+    # forward/decode of batch k (same pattern as Trainer.fit's
+    # DevicePrefetcher; evaluate is single-process)
+    import jax
+
+    from dsjax.data.loader import DevicePrefetcher
+
+    def _stage(batch):
         x = batch.inputs if batch.inputs is not None else batch.audio
-        probs, out_lens, _ = bundle.forward(x, batch.input_lengths)
+        return (jax.device_put(x), jax.device_put(batch.input_lengths))
+
+    for batch, staged in DevicePrefetcher(pipe, _stage):
+        x, lens = (staged if staged is not None
+                   else (batch.inputs if batch.inputs is not None
+                         else batch.audio, batch.input_lengths))
+        probs, out_lens, _ = bundle.forward(x, lens)
         if pending is not None:
             n_utts += finish(pending)
         pending = (probs, out_lens, batch)
