@@ -86,8 +86,11 @@ class DataConfig:
     # inside the compiled train/eval step (SpecAugment forces host features).
     device_features: bool = True
     # TPU-specific: pad time axis up to multiples of this many STFT frames so
-    # XLA sees a bounded set of shapes (bounds recompilation).
-    bucket_frames: int = 128
+    # XLA sees a bounded set of shapes (bounds recompilation). 64 measured
+    # best on a realistic 2-16s corpus: pad efficiency 0.957 vs 0.925 at 128
+    # (honest MFU 0.583 vs 0.560) for ~2x the one-time warmup compiles;
+    # 32 only adds +1.4% efficiency for another 2x shapes.
+    bucket_frames: int = 64
     # split each training batch into this many length-quantile sub-batches
     # per optimizer step (grads summed — one step of identical math apart
     # from per-sub-batch BN statistics, the same trade DDP makes per

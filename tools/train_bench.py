@@ -147,7 +147,8 @@ def main() -> None:
         f"model.hidden_size={HIDDEN}", f"model.hidden_layers={LAYERS}",
         f"trainer.precision={PRECISION}",
         f"data.batch_size={BATCH}",
-        "data.bucket_frames=128", "data.bucket_labels=256",
+        f"data.bucket_frames={os.environ.get('DSJAX_BENCH_BUCKET_FRAMES', '128')}",
+        "data.bucket_labels=256",
         "data.num_workers=8", "data.prefetch_batches=4",
     ]
     if AUG:
