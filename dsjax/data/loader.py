@@ -21,7 +21,7 @@ from dsjax.data.sampler import BucketBatchSampler
 
 class DataPipeline:
     def __init__(self, dataset: SpectrogramDataset, sampler: BucketBatchSampler,
-                 bucket_frames: int = 128, bucket_labels: int = 64,
+                 bucket_frames: int = 64, bucket_labels: int = 64,
                  num_workers: int = 2, prefetch: int = 2,
                  pad_to_batch: Optional[int] = None,
                  ragged_split: int = 1):
@@ -149,9 +149,22 @@ class DevicePrefetcher:
             except BaseException as e:
                 q.put(e)
             finally:
-                q.put(sentinel)
+                # never block forever on the sentinel: after close() the
+                # consumer is gone, so make room by discarding staged
+                # items (only then — a live consumer still wants them)
+                while True:
+                    try:
+                        q.put(sentinel, timeout=0.2)
+                        break
+                    except queue.Full:
+                        if self._stop:
+                            try:
+                                q.get_nowait()
+                            except queue.Empty:
+                                pass
 
         t = threading.Thread(target=producer, daemon=True)
+        self._thread = t  # exposed for tests / joining
         t.start()
         try:
             while True:

@@ -364,17 +364,20 @@ class Trainer:
             use_dp = (dp_depth > 0 and accum == 1
                       and jax.process_count() == 1)
             if use_dp:
+                import itertools
+
                 from dsjax.data.loader import DevicePrefetcher
 
-                train_iter = DevicePrefetcher(train_pipeline, self.put_batch,
-                                              depth=dp_depth)
+                # bound the SOURCE so the producer never stages (uploads)
+                # batches past the n_train limit
+                train_iter = DevicePrefetcher(
+                    itertools.islice(iter(train_pipeline), n_train),
+                    self.put_batch, depth=dp_depth)
             else:
                 train_iter = train_pipeline
             for i, item in enumerate(train_iter):
                 batch, staged = item if use_dp else (item, None)
                 if i >= n_train:
-                    if use_dp:
-                        train_iter.close()
                     break
                 global_step = int(np.asarray(state.step)) if cfg.trainer.profile else -1
                 if cfg.trainer.profile and global_step == cfg.trainer.profile_start_step:

@@ -172,9 +172,8 @@ def evaluate(cfg: EvalConfig) -> Tuple[float, float]:
         return (jax.device_put(x), jax.device_put(batch.input_lengths))
 
     for batch, staged in DevicePrefetcher(pipe, _stage):
-        x, lens = (staged if staged is not None
-                   else (batch.inputs if batch.inputs is not None
-                         else batch.audio, batch.input_lengths))
+        # eval pipelines never ragged_split, so every item is staged
+        x, lens = staged
         probs, out_lens, _ = bundle.forward(x, lens)
         if pending is not None:
             n_utts += finish(pending)

@@ -276,3 +276,18 @@ def test_device_prefetcher_propagates_errors():
         for b, s in DevicePrefetcher(gen(), lambda b: b):
             out.append(b)
     assert out == [1]
+
+
+def test_device_prefetcher_depth1_early_exit_no_deadlock():
+    # regression: at depth=1 the producer's sentinel put could block
+    # forever after an early consumer exit (queue refilled by the
+    # producer's in-flight item put right after the consumer drained)
+    from dsjax.data.loader import DevicePrefetcher
+
+    pf = DevicePrefetcher(iter(range(1000)), lambda b: b, depth=1)
+    it = iter(pf)
+    next(it)
+    pf.close()
+    it.close()
+    pf._thread.join(timeout=10.0)
+    assert not pf._thread.is_alive()

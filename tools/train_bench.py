@@ -147,10 +147,13 @@ def main() -> None:
         f"model.hidden_size={HIDDEN}", f"model.hidden_layers={LAYERS}",
         f"trainer.precision={PRECISION}",
         f"data.batch_size={BATCH}",
-        f"data.bucket_frames={os.environ.get('DSJAX_BENCH_BUCKET_FRAMES', '128')}",
         "data.bucket_labels=256",
         "data.num_workers=8", "data.prefetch_batches=4",
     ]
+    if os.environ.get("DSJAX_BENCH_BUCKET_FRAMES"):
+        # explicit sweep value; default = whatever DataConfig ships
+        overrides.append(
+            f"data.bucket_frames={os.environ['DSJAX_BENCH_BUCKET_FRAMES']}")
     if AUG:
         overrides += ["data.augmentation.spec_augment=true",
                       "data.augmentation.spec_augment_device=true"]
