@@ -171,19 +171,30 @@ def evaluate(cfg: EvalConfig) -> Tuple[float, float]:
         x = batch.inputs if batch.inputs is not None else batch.audio
         return (jax.device_put(x), jax.device_put(batch.input_lengths))
 
+    t_warm = None   # time after the FIRST batch fully finishes: everything
+    n_warm = 0      # before it is XLA compile / program+cache load, not eval
     for batch, staged in DevicePrefetcher(pipe, _stage):
         # eval pipelines never ragged_split, so every item is staged
         x, lens = staged
         probs, out_lens, _ = bundle.forward(x, lens)
         if pending is not None:
             n_utts += finish(pending)
+            if t_warm is None:
+                t_warm, n_warm = _time.time(), n_utts
         pending = (probs, out_lens, batch)
     if pending is not None:
         n_utts += finish(pending)
-    dt = max(_time.time() - t0, 1e-9)
+        if t_warm is None:
+            t_warm, n_warm = _time.time(), n_utts
+    t_end = _time.time()
+    dt = max(t_end - t0, 1e-9)
     w, c = wer.compute(), cer.compute()
+    steady = ""
+    if t_warm is not None and n_utts > n_warm and t_end > t_warm:
+        steady = (f", {(n_utts - n_warm) / (t_end - t_warm):.1f} utt/s "
+                  f"steady past warmup")
     print(f"Test Summary \tAverage WER {w:.3f}\tAverage CER {c:.3f}"
-          f"\t({n_utts / dt:.1f} utt/s eval)")
+          f"\t({n_utts / dt:.1f} utt/s eval{steady})")
     return w, c
 
 
