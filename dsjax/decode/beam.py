@@ -155,10 +155,13 @@ class BeamCTCDecoder:
 
     # ------------------------------------------------------------------
 
-    def decode(self, probs, sizes: Optional[Sequence[int]] = None
+    def decode(self, probs, sizes: Optional[Sequence[int]] = None,
+               n_best: Optional[int] = None
                ) -> Tuple[List[List[str]], List[List[np.ndarray]]]:
         """probs: (B, T, C) posteriors (softmax output). Returns top-beam
-        strings + per-char frame offsets, reference layout."""
+        strings + per-char frame offsets, reference layout. n_best limits
+        how many hypotheses are materialized per utterance (default: all
+        beams, the ctcdecode contract)."""
         probs = np.asarray(probs, dtype=np.float32)
         b, t, c = probs.shape
         sizes = [t] * b if sizes is None else [int(s) for s in np.asarray(sizes)]
@@ -189,6 +192,8 @@ class BeamCTCDecoder:
         all_strings: List[List[str]] = []
         all_offsets: List[List[np.ndarray]] = []
         for hyps in results:
+            if n_best is not None:
+                hyps = hyps[:n_best]
             strings = []
             offsets = []
             for ids, offs, _score in hyps:

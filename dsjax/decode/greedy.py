@@ -58,8 +58,12 @@ class GreedyDecoder:
         self.int_to_char = self.label_map.int_to_char
         self.space_index = self.label_map.space_index
 
-    def decode(self, probs, sizes: Optional[Sequence[int]] = None
+    def decode(self, probs, sizes: Optional[Sequence[int]] = None,
+               n_best: Optional[int] = None
                ) -> Tuple[List[List[str]], List[List[np.ndarray]]]:
+        # n_best accepted for signature parity across decoders (greedy has
+        # exactly one path)
+        del n_best
         probs = jnp.asarray(probs)
         b, t = probs.shape[0], probs.shape[1]
         if sizes is None:

@@ -161,9 +161,11 @@ def load_decoder(labels: List[str], cfg: LMConfig, want_offsets: bool = False):
 
 def run_transcribe(audio_path: str, bundle: ModelBundle, decoder,
                    chunk_size_seconds: float = -1.0,
-                   normalize: bool = True) -> Tuple[List[List[str]], List[List[np.ndarray]]]:
+                   normalize: bool = True, n_best: Optional[int] = None
+                   ) -> Tuple[List[List[str]], List[List[np.ndarray]]]:
     """Chunked transcription with RNN state carry (reference:
-    inference.py:79-99). chunk_size_seconds <= 0 transcribes in one shot."""
+    inference.py:79-99). chunk_size_seconds <= 0 transcribes in one shot.
+    n_best caps the hypotheses materialized per utterance (None = all)."""
     extractor = FeatureExtractor(bundle.spect_cfg, normalize=normalize)
     y = load_audio(audio_path, bundle.spect_cfg.sample_rate)
     carry = None
@@ -178,7 +180,7 @@ def run_transcribe(audio_path: str, bundle: ModelBundle, decoder,
     if not outs:
         return [[""]], [[np.zeros((0,), np.int32)]]
     all_out = np.concatenate(outs, axis=1)
-    return decoder.decode(all_out)
+    return decoder.decode(all_out, n_best=n_best)
 
 
 def decode_results(decoded_output: List[List[str]],

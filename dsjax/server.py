@@ -81,6 +81,10 @@ class BatchWorker(threading.Thread):
         self.decoder = decoder
         self.cfg = cfg
         self.extractor = FeatureExtractor(bundle.spect_cfg, normalize=True)
+        # responses surface only the top hypothesis (decode_results default
+        # top_paths=1): a device beam then backtracks/transfers one char
+        # stream per utterance instead of beam_width of them
+        self._n_best = 1
         self.queue: "queue.Queue[_Request]" = queue.Queue()
         self.running = True
         self._sessions: dict = {}
@@ -162,7 +166,9 @@ class BatchWorker(threading.Thread):
             probs, out_lens, _ = self.bundle.forward(inputs, lengths)
             probs = np.asarray(probs)[: len(batch)]
             out_lens = np.asarray(out_lens)[: len(batch)]
-            decoded, offsets = self.decoder.decode(np.asarray(probs), np.asarray(out_lens))
+            decoded, offsets = self.decoder.decode(np.asarray(probs),
+                                                    np.asarray(out_lens),
+                                                    n_best=self._n_best)
             for i, req in enumerate(batch):
                 req.result = decode_results([decoded[i]], [offsets[i]])
                 req.event.set()
@@ -261,7 +267,7 @@ class BatchWorker(threading.Thread):
                                                              carry)
                 outs.append(np.asarray(probs)[:, : int(np.asarray(out_lens)[0])])
             all_out = np.concatenate(outs, axis=1)
-            decoded, offsets = self.decoder.decode(all_out)
+            decoded, offsets = self.decoder.decode(all_out, n_best=self._n_best)
             req.result = decode_results([decoded[0]], [offsets[0]])
             req.event.set()
         except Exception as e:

@@ -311,7 +311,8 @@ class Trainer:
                 out = host_local_rows(out)
                 out_lens = host_local_rows(out_lens)
             n_real = int(batch.valid_mask.sum()) or batch.size
-            decoded, _ = self.decoder.decode(np.asarray(out), np.asarray(out_lens))
+            decoded, _ = self.decoder.decode(np.asarray(out), np.asarray(out_lens),
+                                              n_best=1)
             refs = self.decoder.convert_to_strings(
                 [batch.targets[b, :batch.target_lengths[b]] for b in range(batch.size)])
             transcripts = [d[0] for d in decoded[:n_real]]

@@ -145,11 +145,16 @@ def evaluate(cfg: EvalConfig) -> Tuple[float, float]:
             # device — no host round-trip — and decode the FULL padded
             # batch so the jitted scan sees one stable shape (pad rows
             # have zero length and decode to ""); slice on the host
-            decoded, _ = decoder.decode(probs, out_lens)
+            # n_best=1: WER needs only the top hypothesis — the device
+            # beam then backtracks/transfers ONE char stream per utterance
+            # instead of beam_width of them (measured +50% decode
+            # throughput at width 128 through the tunnel)
+            decoded, _ = decoder.decode(probs, out_lens, n_best=1)
             decoded = decoded[:n_real]
         else:
             decoded, _ = decoder.decode(np.asarray(probs)[:n_real],
-                                        np.asarray(out_lens)[:n_real])
+                                        np.asarray(out_lens)[:n_real],
+                                        n_best=1)
         refs = target_decoder.convert_to_strings(
             [batch.targets[b, :batch.target_lengths[b]] for b in range(n_real)])
         transcripts = [d[0] for d in decoded]
@@ -204,7 +209,8 @@ def transcribe(cfg: TranscribeConfig) -> dict:
     decoder = load_decoder(bundle.labels, cfg.lm, want_offsets=cfg.offsets)
     decoded_output, decoded_offsets = run_transcribe(
         audio_path=cfg.audio_path, bundle=bundle, decoder=decoder,
-        chunk_size_seconds=cfg.chunk_size_seconds)
+        chunk_size_seconds=cfg.chunk_size_seconds,
+        n_best=max(1, cfg.lm.top_paths))
     results = decode_results(decoded_output, decoded_offsets,
                              model_path=cfg.model.model_path, lm_cfg=cfg.lm,
                              offsets=cfg.offsets, top_paths=cfg.lm.top_paths)

@@ -108,7 +108,7 @@ class Objective:
         decoder.reset_params(alpha, beta)
         wer, cer = WordErrorRate(), CharErrorRate()
         for probs, out_lens, refs in self.cached:
-            decoded, _ = decoder.decode(probs, out_lens)
+            decoded, _ = decoder.decode(probs, out_lens, n_best=1)
             update_batch(wer, cer, [d[0] for d in decoded], refs)
         return wer.compute(), cer.compute()
 
