@@ -60,6 +60,54 @@ def _top_k(scores, k):
     return jax.lax.top_k(scores, k)
 
 
+def _as_i32(a):
+    if a.dtype == jnp.int32:
+        return a
+    if a.dtype == jnp.bool_:
+        return a.astype(jnp.int32)
+    return jax.lax.bitcast_convert_type(a, jnp.int32)   # f32 / u32, exact
+
+
+def _from_i32(a, dt):
+    if dt == jnp.int32:
+        return a
+    if dt == jnp.bool_:
+        return a != 0
+    return jax.lax.bitcast_convert_type(a, dt)
+
+
+def _gather_packed(payloads, idx):
+    """Gather many (B, N) / (B, N, D) payloads at the SAME (B, K) indices
+    with ONE take_along_axis. TPU gathers carry a large fixed cost per op,
+    so S payloads through one (B, S, N) gather are ~S× cheaper than S
+    separate gathers (the dominant cost of the beam step at width 128 was
+    exactly this op dispatch). Mixed dtypes ride as exact int32 bitcasts;
+    results keep each payload's dtype and trailing dim."""
+    cols, widths = [], []
+    for a in payloads:
+        if a.ndim == 2:
+            cols.append(_as_i32(a))
+            widths.append(None)
+        else:
+            for d in range(a.shape[-1]):
+                cols.append(_as_i32(a[..., d]))
+            widths.append(a.shape[-1])
+    stacked = jnp.stack(cols, axis=1)                    # (B, S, N)
+    g = jnp.take_along_axis(stacked, idx[:, None, :], axis=2)
+    out, pos = [], 0
+    for a, s in zip(payloads, widths):
+        if s is None:
+            out.append(_from_i32(g[:, pos], a.dtype))
+            pos += 1
+        elif s == 0:
+            out.append(jnp.zeros((idx.shape[0], idx.shape[1], 0), a.dtype))
+        else:
+            out.append(jnp.stack([_from_i32(g[:, pos + d], a.dtype)
+                                  for d in range(s)], axis=-1))
+            pos += s
+    return out
+
+
 @functools.partial(jax.jit, static_argnames=("beam_width", "blank", "merge",
                                               "space", "cutoff_top_n",
                                               "cutoff_prob"))
@@ -207,7 +255,7 @@ def _beam_scan(log_probs: jnp.ndarray, sizes: jnp.ndarray, beam_width: int,
                 e_at = jnp.where(last[:, :, None] == c,
                                  ext[:, None, :, c], e_at)
             absorbed = jnp.max(jnp.where(hj, e_at, NEG), axis=2)
-            merged_nb = jnp.logaddexp(stay_nb, absorbed)
+            nb_stay = jnp.logaddexp(stay_nb, absorbed)
             # kill matched extends: killed[b, q, c] = any_r hj & last_r=c
             # (one small MXU matmul instead of a scatter)
             onehot = (jax.nn.one_hot(jnp.maximum(last, 0), c_dim,
@@ -215,55 +263,41 @@ def _beam_scan(log_probs: jnp.ndarray, sizes: jnp.ndarray, beam_width: int,
                       * (last >= 0)[..., None].astype(jnp.float32))
             killed = jnp.einsum("brq,brc->bqc", hj.astype(jnp.float32),
                                 onehot) > 0.5
-            ext_m = jnp.where(killed, NEG, ext)
-
-            cand_total = jnp.concatenate(
-                [jnp.logaddexp(stay_b, merged_nb),
-                 ext_m.reshape(b_dim, -1)], 1)
-            top_scores, top_idx = _top_k(cand_total, w)
-            sel_stay = top_idx < w
-            pclip = jnp.minimum(top_idx, w - 1)
-            eclip = jnp.clip(top_idx - w, 0, w * c_dim - 1)
-            char = jnp.where(sel_stay, -1,
-                             (top_idx - w) % c_dim).astype(jnp.int32)
-            parent = jnp.where(sel_stay, top_idx, (top_idx - w) // c_dim)
-            gstay = lambda a: jnp.take_along_axis(a, pclip, axis=1)
-            gext = lambda a: jnp.take_along_axis(a.reshape(b_dim, -1),
-                                                 eclip, axis=1)
-            new_p_b = jnp.where(sel_stay, gstay(stay_b), NEG)
-            new_p_nb = jnp.where(sel_stay, gstay(merged_nb), gext(ext_m))
-            new_last = jnp.where(sel_stay, gstay(last), char)
-            new_h1 = jnp.where(sel_stay, gstay(h1), gext(ext_h1))
-            new_h2 = jnp.where(sel_stay, gstay(h2), gext(ext_h2))
-            # an extend's parent-prefix hash is its parent's full hash
-            par_h1 = jnp.take_along_axis(h1, parent, axis=1)
-            par_h2 = jnp.take_along_axis(h2, parent, axis=1)
-            new_ph1 = jnp.where(sel_stay, gstay(ph1), par_h1)
-            new_ph2 = jnp.where(sel_stay, gstay(ph2), par_h2)
+            ext_use = jnp.where(killed, NEG, ext)
         else:
             # extends carry no blank mass, so pool totals are just
-            # [logaddexp(stay_b, stay_nb) | ext]; payloads reconstruct from
-            # the winning pool indices like the merge branch above
-            cand_total = jnp.concatenate(
-                [jnp.logaddexp(stay_b, stay_nb), ext.reshape(b_dim, -1)], 1)
-            top_scores, top_idx = _top_k(cand_total, w)
-            is_stay = top_idx < w
-            pclip = jnp.minimum(top_idx, w - 1)
-            eclip = jnp.clip(top_idx - w, 0, w * c_dim - 1)
-            char = jnp.where(is_stay, -1, (top_idx - w) % c_dim).astype(jnp.int32)
-            parent = jnp.where(is_stay, top_idx, (top_idx - w) // c_dim)
-            gstay = lambda a: jnp.take_along_axis(a, pclip, axis=1)
-            gext = lambda a: jnp.take_along_axis(a.reshape(b_dim, -1), eclip,
-                                                 axis=1)
-            new_p_b = jnp.where(is_stay, gstay(stay_b), NEG)
-            new_p_nb = jnp.where(is_stay, gstay(stay_nb), gext(ext))
-            new_last = jnp.where(is_stay, gstay(last), char)
-            new_h1 = jnp.where(is_stay, gstay(h1), gext(ext_h1))
-            new_h2 = jnp.where(is_stay, gstay(h2), gext(ext_h2))
-            par_h1 = jnp.take_along_axis(h1, parent, axis=1)
-            par_h2 = jnp.take_along_axis(h2, parent, axis=1)
-            new_ph1 = jnp.where(is_stay, gstay(ph1), par_h1)
-            new_ph2 = jnp.where(is_stay, gstay(ph2), par_h2)
+            # [logaddexp(stay_b, stay_nb) | ext]
+            nb_stay, ext_use = stay_nb, ext
+
+        # pool layout [W stays | W*C extends]; winners reconstruct from
+        # pool indices
+        ext_flat = ext_use.reshape(b_dim, -1)
+        cand_total = jnp.concatenate(
+            [jnp.logaddexp(stay_b, nb_stay), ext_flat], 1)
+        top_scores, top_idx = _top_k(cand_total, w)
+        sel_stay = top_idx < w
+        char = jnp.where(sel_stay, -1,
+                         (top_idx - w) % c_dim).astype(jnp.int32)
+        parent = jnp.where(sel_stay, top_idx, (top_idx - w) // c_dim)
+        # every payload as a per-candidate concat array [stay | extend]
+        # and ONE packed gather at top_idx (was: a gstay/gext gather pair
+        # per payload — the op-dispatch cost dominated the step)
+        bcast = lambda a: jnp.broadcast_to(
+            a[:, :, None], (b_dim, w, c_dim)).reshape(b_dim, -1)
+        ext_classes = jnp.broadcast_to(
+            jnp.tile(classes.astype(jnp.int32), w)[None],
+            (b_dim, w * c_dim))
+        neg_flat = jnp.full((b_dim, w * c_dim), NEG)
+        (new_p_b, new_p_nb, new_last, new_h1, new_h2, new_ph1,
+         new_ph2) = _gather_packed(
+            [jnp.concatenate([stay_b, neg_flat], 1),
+             jnp.concatenate([nb_stay, ext_flat], 1),
+             jnp.concatenate([last, ext_classes], 1),
+             jnp.concatenate([h1, ext_h1.reshape(b_dim, -1)], 1),
+             jnp.concatenate([h2, ext_h2.reshape(b_dim, -1)], 1),
+             # an extend's parent-prefix hash is its parent's full hash
+             jnp.concatenate([ph1, bcast(h1)], 1),
+             jnp.concatenate([ph2, bcast(h2)], 1)], top_idx)
 
         # dead beams must not alias live prefixes, and must carry NO mass:
         # left alive, a filler slot would shadow a real prefix (or match
@@ -279,15 +313,12 @@ def _beam_scan(log_probs: jnp.ndarray, sizes: jnp.ndarray, beam_width: int,
         if lm is not None:
             # LM word state is a pure function of the selected prefix:
             # rebuild it from (parent, char) gathers instead of carrying
-            # (B, W, C) candidate fields through the sort
-            pick = lambda a: jnp.take_along_axis(a, parent, axis=1)
-            p_cur1, p_cur2 = pick(cur1), pick(cur2)
-            p_ctx = jnp.take_along_axis(ctx, parent[..., None], axis=1)
-            p_in, p_memo = pick(in_word), pick(memo)
-            p_bonus_new, p_wid = pick(bonus_new), pick(wid)
-            p_bos = jnp.take_along_axis(ctx_bos, parent[..., None], axis=1)
-            p_newbos = jnp.take_along_axis(new_bos_cand, parent[..., None],
-                                           axis=1)
+            # (B, W, C) candidate fields through the sort — all payloads
+            # share the parent index, so one packed gather covers them
+            (p_cur1, p_cur2, p_ctx, p_in, p_memo, p_bonus_new, p_wid,
+             p_bos, p_newbos) = _gather_packed(
+                [cur1, cur2, ctx, in_word, memo, bonus_new, wid,
+                 ctx_bos, new_bos_cand], parent)
             is_stay = char < 0
             is_space = char == space
             cu = (jnp.maximum(char, 0) + 1).astype(jnp.uint32)
@@ -358,13 +389,41 @@ def _backtrack(backptr, emit, order):
     (B, K) start slots at t=0. Keeps the O(T) pointer chase off the host
     and shrinks the device->host transfer 4x (the two int32 pointer arrays
     never leave the device)."""
-    def step(slot, be):
-        bp, em = be
-        ch = jnp.take_along_axis(em, slot, axis=1)
-        return jnp.take_along_axis(bp, slot, axis=1), ch
+    # one fused (parent, char) stream: both per-step gathers share the slot
+    # index, so packing them halves the scan's op count (char in the low
+    # 16 bits — chars are tiny ints, parents < W)
+    packed = backptr * 65536 + (emit & 0xFFFF)
 
-    start, rev = jax.lax.scan(step, order, (backptr, emit), reverse=True)
-    return rev.astype(jnp.int16), start
+    def step(slot, pk):
+        v = jnp.take_along_axis(pk, slot, axis=1)
+        ch = (v & 0xFFFF).astype(jnp.int16)             # sign-extends via i16
+        return v >> 16, ch
+
+    start, rev = jax.lax.scan(step, order, packed, reverse=True)
+    return rev, start
+
+
+@functools.partial(jax.jit, static_argnames=("beam_width", "blank", "merge",
+                                              "space", "cutoff_top_n",
+                                              "cutoff_prob", "n_best",
+                                              "want_hists"))
+def _decode_device(log_probs, sizes, beam_width, blank, n_best,
+                   want_hists=False, merge=True, lm=None, alpha=None,
+                   beta=None, space=-1, cutoff_top_n=10 ** 9,
+                   cutoff_prob=1.0):
+    """One device program for the whole batch decode: beam scan -> rank
+    beams by total score -> backtrack the top n_best. A single call (and a
+    single host fetch of the (T, B, n_best) int16 char stream) instead of
+    scan / score-fetch / backtrack round trips — per-call dispatch latency
+    was a visible share of decode wall-clock."""
+    backptr, emit, hists, totals, _carry = _beam_scan(
+        log_probs, sizes, beam_width, blank, merge=merge, lm=lm, alpha=alpha,
+        beta=beta, space=space, cutoff_top_n=cutoff_top_n,
+        cutoff_prob=cutoff_prob)
+    # ties resolve to the lower slot index, same as np.argsort(-scores)
+    _, order = jax.lax.top_k(totals, n_best)
+    rev, _ = _backtrack(backptr, emit, order.astype(jnp.int32))
+    return rev, (hists if want_hists else None)
 
 
 class _BeamStreamState:
@@ -488,19 +547,16 @@ class DeviceBeamDecoder:
             lm_kw = dict(lm=self._lm, alpha=jnp.float32(self.alpha),
                          beta=jnp.float32(self.beta),
                          space=self.label_map.space_index)
-        backptr, emit, hists, scores, _ = _beam_scan(lp, sizes_arr,
-                                                     self.beam_width,
-                                                     self.blank_index,
-                                                     cutoff_top_n=self.cutoff_top_n,
-                                                     cutoff_prob=self.cutoff_prob,
-                                                     **lm_kw)
-        order = np.argsort(-np.asarray(scores), axis=1)  # (B, W)
-
-        # backtrack ON DEVICE; only the (T, B, n_best) int16 char stream
-        # crosses to the host
-        rev_d, _ = _backtrack(backptr, emit,
-                              jnp.asarray(order[:, :n_best], jnp.int32))
+        # scan + rank + backtrack in ONE device program; only the
+        # (T, B, n_best) int16 char stream crosses to the host
+        rev_d, hists = _decode_device(lp, sizes_arr, self.beam_width,
+                                      self.blank_index,
+                                      n_best=min(n_best, self.beam_width),
+                                      want_hists=self.ctc_offsets,
+                                      cutoff_top_n=self.cutoff_top_n,
+                                      cutoff_prob=self.cutoff_prob, **lm_kw)
         rev_chars = np.asarray(rev_d)                    # (T, B, n_best)
+        n_best = rev_chars.shape[2]
         b_dim = rev_chars.shape[1]
 
         chars = [self.label_map.int_to_char.get(c, "\x00")
