@@ -426,6 +426,25 @@ def _decode_device(log_probs, sizes, beam_width, blank, n_best,
     return rev, (hists if want_hists else None)
 
 
+@functools.partial(jax.jit, static_argnames=("beam_width", "blank", "merge",
+                                              "space", "cutoff_top_n",
+                                              "cutoff_prob"))
+def _decode_chunk_device(log_probs, sizes, beam_width, blank, merge=True,
+                         lm=None, alpha=None, beta=None, space=-1,
+                         cutoff_top_n=10 ** 9, cutoff_prob=1.0, carry0=None):
+    """Streaming twin of _decode_device: scan one chunk from carry0, then
+    backtrack EVERY beam slot to the chunk start — one device call per
+    chunk (scan + backtrack + best-slot argmax fused)."""
+    backptr, emit, _hists, totals, carry = _beam_scan(
+        log_probs, sizes, beam_width, blank, merge=merge, lm=lm, alpha=alpha,
+        beta=beta, space=space, cutoff_top_n=cutoff_top_n,
+        cutoff_prob=cutoff_prob, carry0=carry0)
+    order = jnp.broadcast_to(jnp.arange(beam_width, dtype=jnp.int32)[None],
+                             (log_probs.shape[0], beam_width))
+    rev, start = _backtrack(backptr, emit, order)
+    return rev, start, jnp.argmax(totals, axis=1), carry
+
+
 class _BeamStreamState:
     """Carried streaming-beam state: the device scan carry + per-beam
     hypothesis strings (host side) + the current best text."""
@@ -510,15 +529,14 @@ class DeviceBeamDecoder:
                          beta=jnp.float32(self.beta),
                          space=self.label_map.space_index)
         carry0 = state.carry if state is not None else None
-        backptr, emit, _hists, scores, carry = _beam_scan(
+        # one fused device call per chunk: scan + per-slot backtrack +
+        # best-slot argmax (was three round trips — at streaming chunk
+        # rates the per-call dispatch latency dominated)
+        rev_d, start_d, best_d, carry = _decode_chunk_device(
             lp, jnp.full((b,), t, jnp.int32), self.beam_width,
             self.blank_index, cutoff_top_n=self.cutoff_top_n,
             cutoff_prob=self.cutoff_prob, carry0=carry0, **lm_kw)
         w = self.beam_width
-        # chunk-local backtrack ON DEVICE: slot at chunk end -> (start
-        # slot, chars)
-        rev_d, start_d = _backtrack(backptr, emit,
-                                    jnp.arange(w, dtype=jnp.int32)[None, :])
         rev = np.asarray(rev_d)[:, 0]          # (T, W) int16
         slot = np.asarray(start_d)[0]
         old = state.strings if state is not None else [""] * w
@@ -527,7 +545,7 @@ class DeviceBeamDecoder:
             chars = rev[:, p][rev[:, p] >= 0]
             strings.append(old[slot[p]] + "".join(
                 self.label_map.int_to_char[int(c)] for c in chars))
-        order = int(np.asarray(scores)[0].argmax())
+        order = int(np.asarray(best_d)[0])
         new_state = _BeamStreamState(carry, strings, strings[order])
         return strings[order], new_state
 
