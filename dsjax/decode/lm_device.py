@@ -98,8 +98,12 @@ class HashTable:
 
     @property
     def mask(self) -> int:
-        """Bucket-index mask (n_buckets - 1)."""
-        return len(self.data) // BUCKET - 1
+        """Bucket-index mask (n_buckets - 1). Host tables are slot-major
+        (S, 4); device tables are bucket-major (n_buckets, BUCKET * 4) so
+        one probe is ONE 64-byte row gather (see device())."""
+        if self.data.shape[-1] == 4:
+            return len(self.data) // BUCKET - 1
+        return len(self.data) - 1
 
     def tree_flatten(self):
         return (self.data,), self.depth
@@ -321,6 +325,11 @@ class DeviceNgramLM:
                 raw["backoff"][n].astype(np.float32)))
 
     def device(self) -> PackedLM:
+        """Pack to device arrays in BUCKET-MAJOR layout: one table row =
+        one whole bucket (BUCKET * 4 u32 = 64 bytes), so every probe is a
+        single contiguous row gather. The slot-major (S, 4) layout cost 4
+        gather rows per bucket window — measured 4x slower on TPU, whose
+        gather cost scales with gathered ROW count, not bytes."""
         import numpy as _np
 
         import jax.numpy as jnp
@@ -328,11 +337,12 @@ class DeviceNgramLM:
         bases, off = [], 0
         for t in self.tables:
             bases.append(off)
-            off += len(t.data)
-        packed = jnp.asarray(_np.concatenate([t.data for t in self.tables],
-                                             axis=0))
+            off += len(t.data) // BUCKET
+        packed = jnp.asarray(_np.concatenate(
+            [t.data.reshape(-1, BUCKET * 4) for t in self.tables], axis=0))
         return PackedLM(self.order, self.unk_logp,
-                        HashTable(jnp.asarray(self.vocab.data),
+                        HashTable(jnp.asarray(
+                            self.vocab.data.reshape(-1, BUCKET * 4)),
                                   self.vocab.depth),
                         packed, bases,
                         [t.mask for t in self.tables],
@@ -345,10 +355,11 @@ class DeviceNgramLM:
 
 
 def _bucket_slots(k1, k2, mask, base=0):
-    """(..., 2, BUCKET) int32 row indices of a key's two candidate
-    buckets (contiguous BUCKET-row windows). When both choices land on
-    the same bucket the second window is redirected to the next bucket:
-    the key is stored at most once, so the redirected window cannot
+    """(..., 2) int32 BUCKET-row indices of a key's two candidate buckets
+    (device tables are bucket-major: one bucket = one (BUCKET * 4)-u32
+    row, so a probe is two 64-byte row gathers). When both choices land
+    on the same bucket the second is redirected to the next bucket: the
+    key is stored at most once, so the redirected window cannot
     false-hit, and it keeps the windows disjoint so the callers'
     masked-SUM hit select never double-counts."""
     import jax.numpy as jnp
@@ -356,8 +367,12 @@ def _bucket_slots(k1, k2, mask, base=0):
     ia = ((k1 * MIX1) ^ (k2 * MIX2)) & mask
     ib = ((k1 * MIX1B) ^ (k2 * MIX2B)) & mask
     ib = jnp.where(ib == ia, (ia + 1) & mask, ib)
-    starts = jnp.stack([ia, ib], -1).astype(jnp.int32) * BUCKET + base
-    return starts[..., None] + jnp.arange(BUCKET, dtype=jnp.int32)
+    return jnp.stack([ia, ib], -1).astype(jnp.int32) + base
+
+
+def _bucket_rows(rows):
+    """(..., BUCKET * 4) gathered bucket rows -> (..., BUCKET, 4)."""
+    return rows.reshape(rows.shape[:-1] + (BUCKET, 4))
 
 
 def _probe(table: HashTable, k1, k2):
@@ -365,7 +380,7 @@ def _probe(table: HashTable, k1, k2):
     import jax.numpy as jnp
 
     slots = _bucket_slots(k1, k2, jnp.uint32(table.mask))
-    rows = table.data[slots]                            # (..., 2, B, 4)
+    rows = _bucket_rows(table.data[slots])              # (..., 2, B, 4)
     hit = ((rows[..., 0] == k1[..., None, None])
            & (rows[..., 1] == k2[..., None, None]))
     found = hit.any((-2, -1))
@@ -424,8 +439,8 @@ def _probe_packed(lm: PackedLM, probes):
     for ti, k1, k2, _ in probes:
         slots.append(_bucket_slots(k1, k2, jnp.uint32(lm.masks[ti]),
                                    lm.bases[ti]))
-    slots = jnp.stack(slots, axis=-3)              # (..., J, 2, B)
-    rows = lm.ngrams[slots]                        # (..., J, 2, B, 4)
+    slots = jnp.stack(slots, axis=-2)              # (..., J, 2)
+    rows = _bucket_rows(lm.ngrams[slots])          # (..., J, 2, B, 4)
     out = []
     for j, (ti, k1, k2, valid) in enumerate(probes):
         r = rows[..., j, :, :, :]
