@@ -161,6 +161,12 @@ class TrainerConfig:
     val_check_interval: float = 1.0     # fraction of epoch between val runs
     accumulate_grad_batches: int = 1
     enable_checkpointing: bool = True
+    # resume training from an explicit checkpoint path (reference parity:
+    # lightning TrainerConf.resume_from_checkpoint, README.md:231-235).
+    # Accepts a dsjax checkpoint root (or its last/best subdir) — full
+    # training state resumes — or a reference torch .ckpt file, which
+    # warm-starts the weights with a fresh optimizer (fine-tuning).
+    resume_from_checkpoint: str = ""
     deterministic: bool = False
     # NaN/Inf guard (reference passthrough parity: TrainerConf.detect_anomaly,
     # lightning_config.py:63): enables jax_debug_nans so the first NaN raises

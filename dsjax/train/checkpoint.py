@@ -126,6 +126,41 @@ def _tree_to_state(tree: Dict[str, Any]) -> TrainState:
                       epoch=tree["epoch"])
 
 
+def restore_from_path(path: str, target_state: TrainState
+                      ) -> "tuple[TrainState, Dict[str, Any]]":
+    """Restore full training state from an explicit checkpoint path
+    (reference parity: trainer.resume_from_checkpoint, reference
+    README.md:231-235). ``path`` may be a dsjax checkpoint root (the
+    CheckpointHandler dirpath — its ``last`` subdir is preferred, ``best``
+    is the fallback) or one of those subdirs directly. Returns the
+    restored state and the host-side extras (sampler position etc.)."""
+    path = os.path.abspath(path)
+    if os.path.basename(path) in ("last", "best"):
+        candidates = [path]
+    else:
+        candidates = [os.path.join(path, "last"), os.path.join(path, "best")]
+    for mgr_dir in candidates:
+        if not os.path.isdir(mgr_dir):
+            continue
+        mgr = ocp.CheckpointManager(mgr_dir)
+        try:
+            step = mgr.latest_step()
+            if step is None:
+                continue
+            tree = _state_to_tree(target_state)
+            restored = mgr.restore(step, args=ocp.args.Composite(
+                state=ocp.args.StandardRestore(tree)))
+            try:
+                extra = dict(mgr.restore(step, args=ocp.args.Composite(
+                    extra=ocp.args.JsonRestore())).get("extra") or {})
+            except Exception:
+                extra = {}
+            return _tree_to_state(restored["state"]), extra
+        finally:
+            mgr.close()
+    raise FileNotFoundError(f"no restorable checkpoint at {path}")
+
+
 def load_meta(dirpath: str) -> Dict[str, Any]:
     with open(os.path.join(dirpath, "meta.json")) as f:
         return json.load(f)

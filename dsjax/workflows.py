@@ -63,6 +63,36 @@ def _pipelines(cfg: TrainConfig, labels: List[str], dp: int
             mk(val_ds, val_sampler, 1))
 
 
+def _resume_explicit(path: str, state):
+    """trainer.resume_from_checkpoint: restore full state from a dsjax
+    checkpoint path, or warm-start weights from a reference torch .ckpt
+    (reference README.md:231-235; lightning resume_from_checkpoint)."""
+    import jax
+
+    if os.path.isfile(path) and path.endswith(".ckpt"):
+        from dsjax.model.torch_import import import_checkpoint
+
+        imported = import_checkpoint(path)
+        want = jax.tree_util.tree_map(lambda x: x.shape, state.params)
+        got = jax.tree_util.tree_map(lambda x: x.shape, imported["params"])
+        if want != got:
+            raise ValueError(
+                f"checkpoint {path} does not match the configured model "
+                f"(set model.hidden_size/hidden_layers/rnn_type to the "
+                f"checkpoint's): {got} vs {want}")
+        print(f"warm-started weights from {path} (fresh optimizer state)")
+        cast = lambda new, old: jax.tree_util.tree_map(
+            lambda n, o: np.asarray(n, dtype=o.dtype), new, old)
+        return state.replace(
+            params=cast(imported["params"], state.params),
+            batch_stats=cast(imported["batch_stats"], state.batch_stats)), {}
+    from dsjax.train.checkpoint import restore_from_path
+
+    state, extra = restore_from_path(path, state)
+    print(f"resumed from {path} at step {int(np.asarray(state.step))}")
+    return state, extra
+
+
 def train(cfg: TrainConfig) -> None:
     """Full training workflow (reference: training.py:13-47)."""
     from dsjax.parallel.distributed import initialize as dist_initialize
@@ -89,7 +119,10 @@ def train(cfg: TrainConfig) -> None:
                                 verbose=cfg.checkpoint.verbose)
     state = trainer.init_state()
     resume_extra = {}
-    if cfg.load_auto_checkpoint:
+    if cfg.trainer.resume_from_checkpoint:
+        state, resume_extra = _resume_explicit(
+            cfg.trainer.resume_from_checkpoint, state)
+    elif cfg.load_auto_checkpoint:
         latest = find_latest_checkpoint_dir(ckpt_dir)
         if latest is not None:
             try:
