@@ -250,7 +250,12 @@ def random_tempo_gain(y: np.ndarray, sample_rate: int,
     tempo = float(rng.uniform(*tempo_range))
     gain = float(rng.uniform(*gain_range))
     y = aio.stretch_tempo(y, sample_rate, tempo)
-    return aio.apply_gain(y, gain)
+    y = aio.apply_gain(y, gain)
+    # the reference round-trips augmented audio through a 16-bit signed
+    # WAV (sox "-b 16 -e si", data_loader.py:377-390), so gain above full
+    # scale saturates there; clip so the host-feature and int16
+    # device-feature paths see the same waveform
+    return np.clip(y, -1.0, 1.0)
 
 
 class AugmentPipeline:

@@ -164,7 +164,8 @@ class SpectrogramDataset:
             and not aug_cfg.spec_augment_device)
         # ship raw audio device-ward as native int16 PCM (halves the
         # host->device transfer, usually the input-pipeline bottleneck;
-        # exact for unaugmented 16-bit sources, ~-90 dB dither otherwise);
+        # exact for unaugmented 16-bit sources, ~-90 dB dither otherwise,
+        # peak-rescaled when a noise mix exceeds full scale);
         # spectrogram_jax dequantizes on device
         self.audio_int16 = audio_int16
 
@@ -182,6 +183,15 @@ class SpectrogramDataset:
 
             yp, n_frames = pad_audio_for_device(y, self.spect_cfg)
             if self.audio_int16:
+                # tempo/gain augmentation saturates at full scale upstream
+                # (reference sox -b 16 parity, audio/augment.py); a noise
+                # mix can still exceed it (the reference keeps those
+                # float) — peak-rescale rather than hard-clip, a constant
+                # gain the per-utterance feature normalization mostly
+                # absorbs, vs. clipping's harmonic distortion
+                peak = float(np.max(np.abs(yp), initial=0.0))
+                if peak > 1.0:
+                    yp = yp / peak
                 yp = np.clip(np.rint(yp * 32768.0), -32768, 32767).astype(np.int16)
             return yp, n_frames, transcript
         spect = self.extractor(y)

@@ -24,7 +24,7 @@ class DataPipeline:
                  bucket_frames: int = 64, bucket_labels: int = 64,
                  num_workers: int = 2, prefetch: int = 2,
                  pad_to_batch: Optional[int] = None,
-                 ragged_split: int = 1):
+                 ragged_split: int = 1, pad_quantum: int = 1):
         self.dataset = dataset
         self.sampler = sampler
         self.bucket_frames = bucket_frames
@@ -36,6 +36,10 @@ class DataPipeline:
         # (a list) — the trainer sums their grads into ONE optimizer step
         # (DataConfig.ragged_split); each block pads to its own max
         self.ragged_split = max(1, ragged_split)
+        # batch-dim rows must stay a multiple of the data-axis shards this
+        # host feeds (put_batch shards dim 0 over ('dcn','data')) — the
+        # caller's pad_to_batch honors it, and ragged sub-batches must too
+        self.pad_quantum = max(1, pad_quantum)
 
     def __len__(self) -> int:
         return len(self.sampler)
@@ -60,9 +64,14 @@ class DataPipeline:
                                            False) else
                (lambda s: s[0].shape[1]))
         samples = sorted(samples, key=key, reverse=True)
+        q = self.pad_quantum
         sub = -(-len(samples) // k)
-        pad_to = (None if self.pad_to_batch is None
-                  else -(-self.pad_to_batch // k))
+        sub = -(-sub // q) * q          # shard-divisible sub-batch rows
+        if self.pad_to_batch is None:
+            pad_to = None
+        else:
+            per = -(-self.pad_to_batch // k)
+            pad_to = -(-per // q) * q   # shard-divisible padded rows
         return [self._collate(samples[i:i + sub], pad_to)
                 for i in range(0, len(samples), sub)]
 

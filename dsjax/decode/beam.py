@@ -94,11 +94,16 @@ class _TrieNode:
         return node
 
     def remove(self) -> None:
-        self.exists = False
-        if not self.children and self.parent is not None:
-            del self.parent.children[self.char]
-            if not self.parent.exists and not self.parent.children:
-                self.parent.remove()
+        # iterative: prefix depth equals transcript length, which can
+        # exceed Python's recursion limit on long one-shot audio
+        node = self
+        node.exists = False
+        while (not node.children and node.parent is not None
+               and not node.exists):
+            del node.parent.children[node.char]
+            node = node.parent
+            if node.exists or node.children:
+                break
 
     def path(self) -> Tuple[Tuple[int, ...], Tuple[int, ...]]:
         ids: List[int] = []
@@ -112,15 +117,21 @@ class _TrieNode:
 
     def iterate_to_vec(self, out: List["_TrieNode"]) -> None:
         """End-of-step collection: swap cur -> prev for every live node
-        (ctcdecode path_trie.cpp iterate_to_vec)."""
-        if self.exists:
-            self.p_b = self.p_b_cur
-            self.p_nb = self.p_nb_cur
-            self.p_b_cur = NEG_INF
-            self.p_nb_cur = NEG_INF
-            out.append(self)
-        for child in list(self.children.values()):
-            child.iterate_to_vec(out)
+        (ctcdecode path_trie.cpp iterate_to_vec). Iterative — trie depth
+        equals transcript length and can exceed the recursion limit."""
+        stack = [self]
+        while stack:
+            node = stack.pop()
+            if node.exists:
+                node.p_b = node.p_b_cur
+                node.p_nb = node.p_nb_cur
+                node.p_b_cur = NEG_INF
+                node.p_nb_cur = NEG_INF
+                out.append(node)
+            # reversed so pop() visits children in insertion order — the
+            # exact pre-order the recursive version produced (stable-sort
+            # tie-breaks downstream depend on it)
+            stack.extend(reversed(list(node.children.values())))
 
 
 class BeamCTCDecoder:

@@ -484,7 +484,6 @@ def score_word_ln(lm: PackedLM, cur1, cur2, ctx, ctx_bos=None):
     probes = []                                    # table idx is static
     k1, k2, v = _fold_ids_jnp([wid])
     probes.append((0, k1, k2, v))
-    full_valid = [v]
     for n in range(2, lm.order + 1):
         ctx_n = [ctx[..., -(j + 1)] for j in range(n - 2, -1, -1)]
         if ctx_bos is None:
@@ -492,7 +491,6 @@ def score_word_ln(lm: PackedLM, cur1, cur2, ctx, ctx_bos=None):
             probes.append((n - 2, kc1, kc2, vc))
         kf1, kf2, vf = _fold_ids_jnp(ctx_n + [wid])
         probes.append((n - 1, kf1, kf2, vf))
-        full_valid.append(vf)
     res = _probe_packed(lm, probes)
 
     if ctx_bos is None:

@@ -214,9 +214,16 @@ class Trainer:
         return self._compiled["apply"](state, grads,
                                        jnp.float32(1.0 / max(1, n_accum)))
 
-    def train_step_accum(self, state: TrainState, batches: List[Batch]
-                         ) -> Tuple[TrainState, jax.Array]:
-        """One optimizer step from several micro-batches (grads averaged)."""
+    def train_step_accum(self, state: TrainState, batches: List[Batch],
+                         n_accum: int = 0) -> Tuple[TrainState, jax.Array]:
+        """One optimizer step from several micro-batches.
+
+        ``n_accum`` is the divisor applied to the summed gradients: the
+        number of REAL batches accumulated (Lightning parity — each batch
+        contributes its mean). ragged_split sub-batches of one batch are
+        partitions of a single sum-reduced loss, so they sum WITHOUT
+        scaling (n_accum=1); callers mixing both pass the real-batch
+        count. 0 (default) = len(batches), the plain accumulation case."""
         acc = None
         losses = []
         for b in batches:
@@ -225,7 +232,7 @@ class Trainer:
             acc = grads if acc is None else jax.tree_util.tree_map(
                 jnp.add, acc, grads)
             losses.append(loss)
-        state = self.apply_grads(state, acc, len(batches))
+        state = self.apply_grads(state, acc, n_accum or len(batches))
         return state, losses[-1]
 
     def train_step(self, state: TrainState, batch: Batch,
@@ -391,11 +398,14 @@ class Trainer:
                     micro_batches += 1
                     if micro_batches < accum and i + 1 < n_train:
                         continue
-                    state, loss = self.train_step_accum(state, micro)
+                    # scale by REAL batches accumulated, not sub-batches:
+                    # ragged_split partitions one sum-reduced loss
+                    state, loss = self.train_step_accum(state, micro,
+                                                        n_accum=micro_batches)
                     micro = []
                     micro_batches = 0
                 elif len(subs) > 1:
-                    state, loss = self.train_step_accum(state, subs)
+                    state, loss = self.train_step_accum(state, subs, n_accum=1)
                 else:
                     state, loss = self.train_step(state, batch, staged=staged)
                 if (cfg.trainer.profile and global_step

@@ -58,7 +58,7 @@ def _pipelines(cfg: TrainConfig, labels: List[str], dp: int
         ds, sampler, bucket_frames=cfg.data.bucket_frames,
         bucket_labels=cfg.data.bucket_labels,
         num_workers=cfg.data.num_workers, prefetch=cfg.data.prefetch_batches,
-        pad_to_batch=pad_b, ragged_split=split)
+        pad_to_batch=pad_b, ragged_split=split, pad_quantum=local_dp)
     return (mk(train_ds, train_sampler, cfg.data.ragged_split),
             mk(val_ds, val_sampler, 1))
 

@@ -291,3 +291,32 @@ def test_device_prefetcher_depth1_early_exit_no_deadlock():
     it.close()
     pf._thread.join(timeout=10.0)
     assert not pf._thread.is_alive()
+
+
+def test_ragged_split_pad_quantum():
+    """ragged sub-batches keep batch rows divisible by the data-shard
+    quantum (put_batch shards dim 0 over the mesh data axis; an
+    indivisible sub-batch would raise at device_put)."""
+    from dsjax.data.loader import DataPipeline
+
+    class FakeDS:
+        device_features = False
+
+        def __init__(self, lens):
+            self.lens = lens
+
+        def __len__(self):
+            return len(self.lens)
+
+        def __getitem__(self, i):
+            return np.zeros((161, self.lens[i]), np.float32), [1, 2]
+
+    ds = FakeDS([20 + 3 * i for i in range(8)])
+    sampler = OrderedBatchSampler(8, batch_size=8)
+    pipe = DataPipeline(ds, sampler, bucket_frames=8, bucket_labels=4,
+                        num_workers=1, prefetch=1, pad_to_batch=8,
+                        ragged_split=3, pad_quantum=4)
+    (subs,) = list(pipe)
+    assert isinstance(subs, list)
+    assert all(b.size % 4 == 0 for b in subs)
+    assert sum(int(b.valid.sum()) for b in subs) == 8

@@ -307,3 +307,29 @@ def test_beam_offsets_loudest_frame_rule():
     # unique nor monotone: exactly ctcdecode's behavior.
     assert tuple(py[0][0]) == (2, 2)
     assert tuple(py[0][1]) == (3, 3)
+
+
+def test_trie_handles_depth_beyond_recursion_limit():
+    """Long transcripts build prefix tries deeper than Python's recursion
+    limit; iterate_to_vec/remove must be iterative (a few minutes of
+    audio decoded one-shot exceeds 1000 chars)."""
+    import sys
+
+    from dsjax.decode.beam import _TrieNode
+
+    depth = sys.getrecursionlimit() + 500
+    root = _TrieNode()
+    node = root
+    for t in range(depth):
+        node = node.get_path_trie(1 + (t % 5), t, -1.0)
+    out = []
+    root.iterate_to_vec(out)
+    assert len(out) == depth + 1
+    node.remove()          # deepest chain unwinds without RecursionError
+    for n in out:
+        n.exists = False
+    node2 = root
+    while node2.children:
+        node2 = next(iter(node2.children.values()))
+    node2.remove()
+    assert not root.children

@@ -20,10 +20,11 @@ def _batch(rng, b=4, t=48, l=6):
                  input_lengths.astype(np.float32) / t)
 
 
-def _trainer(accum=1):
+def _trainer(accum=1, *extra):
     cfg = compose(TrainConfig, [
         "model.hidden_size=16", "model.hidden_layers=1",
         "trainer.precision=32", f"trainer.accumulate_grad_batches={accum}",
+        *extra,
     ])
     return Trainer(cfg, DEFAULT_LABELS,
                    mesh=make_mesh(1, 1, devices=jax.devices()[:1]))
@@ -75,3 +76,84 @@ def test_accum_through_fit_loop():
     state = trainer.fit(ListPipeline(batches), ListPipeline(batches[:1]),
                         log_fn=lambda *_: None)
     assert int(np.asarray(state.step)) == 2  # 4 micros -> 2 optimizer steps
+
+
+def test_ragged_subs_sum_unscaled():
+    """ragged_split sub-batches partition ONE sum-reduced loss: their grads
+    sum with n_accum=1, matching a single step on the concatenated batch
+    (duplicated rows keep BN batch statistics identical, so equality is
+    exact, not approximate)."""
+    rng = np.random.default_rng(2)
+    b = _batch(rng)
+    big = Batch(np.concatenate([b.inputs, b.inputs]),
+                np.concatenate([b.input_lengths, b.input_lengths]),
+                np.concatenate([b.targets, b.targets]),
+                np.concatenate([b.target_lengths, b.target_lengths]),
+                np.concatenate([b.input_percentages, b.input_percentages]))
+    key = jax.random.PRNGKey(7)
+
+    # SGD: the update is linear in the gradient, so the comparison is
+    # sharp (Adam's m/sqrt(v) amplifies fp reduction-order noise wherever
+    # the gradient is near zero)
+    t1 = _trainer(1, "optim=sgd")
+    s1 = t1.init_state(key)
+    s1, loss1 = t1.train_step(s1, big)
+
+    t2 = _trainer(1, "optim=sgd")
+    s2 = t2.init_state(key)
+    s2, _ = t2.train_step_accum(s2, [b, b], n_accum=1)
+
+    diffs = jax.tree_util.tree_map(
+        lambda a, c: float(np.max(np.abs(np.asarray(a) - np.asarray(c)))),
+        s1.params, s2.params)
+    assert max(jax.tree_util.tree_leaves(diffs)) < 1e-5
+
+
+def test_ragged_fit_uses_unit_scale(monkeypatch):
+    """fit() must pass n_accum=1 for ragged sub-batch lists (NOT average
+    them like micro-batch accumulation) and the real-batch count when
+    combining with accumulate_grad_batches."""
+    rng = np.random.default_rng(3)
+
+    class ListPipeline:
+        def __init__(self, items):
+            self.items = items
+            from dsjax.data.sampler import BucketBatchSampler
+
+            self.sampler = BucketBatchSampler(len(items), 1)
+
+        def __len__(self):
+            return len(self.items)
+
+        def __iter__(self):
+            return iter(self.items)
+
+    seen = []
+    trainer = _trainer()
+    trainer.cfg.trainer.max_epochs = 1
+    orig = trainer.train_step_accum
+
+    def spy(state, batches, n_accum=0):
+        seen.append((len(batches), n_accum))
+        return orig(state, batches, n_accum)
+
+    monkeypatch.setattr(trainer, "train_step_accum", spy)
+    subs = [[_batch(rng, b=2), _batch(rng, b=2)]]
+    trainer.fit(ListPipeline(subs), ListPipeline([_batch(rng)]),
+                log_fn=lambda *_: None)
+    assert seen == [(2, 1)]
+
+    seen.clear()
+    trainer2 = _trainer(accum=2)
+    trainer2.cfg.trainer.max_epochs = 1
+    orig2 = trainer2.train_step_accum
+
+    def spy2(state, batches, n_accum=0):
+        seen.append((len(batches), n_accum))
+        return orig2(state, batches, n_accum)
+
+    monkeypatch.setattr(trainer2, "train_step_accum", spy2)
+    subs = [[_batch(rng, b=2), _batch(rng, b=2)] for _ in range(2)]
+    trainer2.fit(ListPipeline(subs), ListPipeline([_batch(rng)]),
+                 log_fn=lambda *_: None)
+    assert seen == [(4, 2)]  # 2 real batches x 2 subs, scaled by 2
