@@ -132,7 +132,7 @@ def _beam_scan(log_probs: jnp.ndarray, sizes: jnp.ndarray, beam_width: int,
     final scores include the trailing-word bonus — matching the host
     BeamCTCDecoder's scoring exactly."""
     from dsjax.decode.lm_device import (CHAR_A1, CHAR_A2, CHAR_SEED,
-                                        WID_ABSENT, score_word_ln)
+                                        CTX_ABSENT, EMPTY_KEY, score_word_ln)
 
     b_dim, t_dim, c_dim = log_probs.shape
     w = beam_width
@@ -150,7 +150,8 @@ def _beam_scan(log_probs: jnp.ndarray, sizes: jnp.ndarray, beam_width: int,
     nbo = 0 if lm is None else max(0, lm.order - 1)
     lm0 = (jnp.full((b_dim, w), CHAR_SEED, jnp.uint32),     # cur-word hash 1
            jnp.full((b_dim, w), CHAR_SEED, jnp.uint32),     # cur-word hash 2
-           jnp.full((b_dim, w, cw), WID_ABSENT, jnp.int32),  # context ids
+           # context word hash pairs, interleaved [h1,h2]*cw oldest->newest
+           jnp.full((b_dim, w, 2 * cw), CTX_ABSENT, jnp.uint32),
            jnp.zeros((b_dim, w), bool),                      # in_word
            jnp.zeros((b_dim, w), jnp.float32),               # last-word bonus
            # carried backoffs of the context's suffixes (see
@@ -212,9 +213,15 @@ def _beam_scan(log_probs: jnp.ndarray, sizes: jnp.ndarray, beam_width: int,
             # current partial word against the beam's word history; with no
             # partial word, re-score the previous word (host-twin parity:
             # prefix.split() skips empty tokens) via the memoized bonus
-            score_ln, wid, new_bos_cand = score_word_ln(lm, cur1, cur2, ctx,
-                                                        ctx_bos)
-            has_words = ctx[..., -1] != WID_ABSENT
+            # (a per-beam score cache probing only word-state-changing
+            # lanes was built and A/B-measured SLOWER here: with LM fusion
+            # 78-92% of w128 selections are extensions — the beam tail
+            # churns — so the cache's extra carried state cost more than
+            # the few duplicated gather rows it saved)
+            score_ln, _, new_bos_cand = score_word_ln(
+                lm, cur1, cur2, ctx.reshape(ctx.shape[:-1] + (cw, 2)),
+                ctx_bos)
+            has_words = ctx[..., -2] != CTX_ABSENT
             bonus_new = alpha * score_ln + beta
             bonus = jnp.where(in_word, bonus_new,
                               jnp.where(has_words, memo, 0.0))
@@ -315,9 +322,9 @@ def _beam_scan(log_probs: jnp.ndarray, sizes: jnp.ndarray, beam_width: int,
             # rebuild it from (parent, char) gathers instead of carrying
             # (B, W, C) candidate fields through the sort — all payloads
             # share the parent index, so one packed gather covers them
-            (p_cur1, p_cur2, p_ctx, p_in, p_memo, p_bonus_new, p_wid,
+            (p_cur1, p_cur2, p_ctx, p_in, p_memo, p_bonus_new,
              p_bos, p_newbos) = _gather_packed(
-                [cur1, cur2, ctx, in_word, memo, bonus_new, wid,
+                [cur1, cur2, ctx, in_word, memo, bonus_new,
                  ctx_bos, new_bos_cand], parent)
             is_stay = char < 0
             is_space = char == space
@@ -330,9 +337,15 @@ def _beam_scan(log_probs: jnp.ndarray, sizes: jnp.ndarray, beam_width: int,
                                            p_cur2 * CHAR_A2 + cu))
             new_in = jnp.where(is_stay, p_in, ~is_space)
             complete = is_space & p_in                  # a word just closed
+            # the committed word's canonical identity pair: the parent's
+            # word hash, h1 remapped away from the vacancy/absent sentinel
+            # (the same remap the build applies in lm_device._word_hash)
+            w1 = jnp.where(p_cur1 == EMPTY_KEY, p_cur1 ^ jnp.uint32(1),
+                           p_cur1)
             new_ctx = jnp.where(complete[..., None],
-                                jnp.concatenate([p_ctx[..., 1:],
-                                                 p_wid[..., None]], -1),
+                                jnp.concatenate([p_ctx[..., 2:],
+                                                 w1[..., None],
+                                                 p_cur2[..., None]], -1),
                                 p_ctx)
             new_memo = jnp.where(complete, p_bonus_new, p_memo)
             # the completed word's own probe backoffs become the new
@@ -377,7 +390,9 @@ def _beam_scan(log_probs: jnp.ndarray, sizes: jnp.ndarray, beam_width: int,
         # ending in space gains one more word bonus); display-only — the
         # returned carry stays bonus-free so streaming can continue
         cur1, cur2, ctx, in_word, _, ctx_bos = lm_state
-        score_ln, _, _ = score_word_ln(lm, cur1, cur2, ctx, ctx_bos)
+        cw_f = max(1, lm.order - 1)
+        score_ln, _, _ = score_word_ln(
+            lm, cur1, cur2, ctx.reshape(ctx.shape[:-1] + (cw_f, 2)), ctx_bos)
         totals = totals + jnp.where(in_word, alpha * score_ln + beta, 0.0)
     return backptr, emit, (h1_seq, h2_seq), totals, carry
 

@@ -6,18 +6,23 @@ batch. Here the whole Katz-backoff scorer lives in HBM as open-addressing
 hash tables so the beam search scan (dsjax.decode.beam_device) can fuse
 ``alpha * ln P(word | context) + beta`` without leaving the device:
 
-* every n-gram order is one linear-probing hash table packed as a single
-  (S, 4) uint32 array — two independent 32-bit check keys plus bitcast
-  float32 log10-prob and backoff — so a query is ONE row gather of a fixed
-  probe window followed by a branch-free key-match select (collision odds
+* every n-gram order is one two-choice bucketed hash table packed
+  bucket-major — two independent 32-bit check keys plus bitcast float32
+  log10-prob and backoff per slot — so a query is two contiguous 64-byte
+  row gathers followed by a branch-free key-match select (collision odds
   ~2^-64 per pair, the same standard as the beam's exact prefix merging);
 * decoder-side words are identified by two rolling hashes over their LABEL
-  indices (beams never materialize strings); a vocab hash table maps those
-  to dense word ids, and n-gram keys fold the id sequence;
+  indices (beams never materialize strings); n-gram keys fold those hash
+  PAIRS directly — there is no word-id indirection, so the per-step
+  scoring is ONE packed gather with no vocab-probe dependency ahead of it
+  (the former vocab->id->key chain serialized two gathers per step, and
+  TPU gathers pay a fixed per-op dispatch on top of per-row cost);
 * scoring follows dsjax.decode.lm.ArpaLM._score exactly: P(w|ctx) from the
   longest matching order, else backoff(ctx) + P(w|shorter ctx), OOV ->
-  <unk> unigram (or -100 log10). Context words that are OOV or absent get
-  ids that match no table entry, which reproduces the host's miss paths.
+  <unk> unigram (or -100 log10). An OOV word's hash pair matches no table
+  entry — the same miss path the host takes for unknown words — and
+  absent context slots carry an EMPTY_KEY sentinel excluded via the
+  probes' valid flags.
 
 n-grams containing <s>, </s> or <unk> are dropped at build time: the
 decoder can never produce those tokens, so the host scorer never finds
@@ -54,8 +59,10 @@ BUCKET = 4  # slots per bucket: one probe = two 4-row contiguous gathers
 # (two-choice balancing keeps mean bucket load ~2 at table load 0.5, so
 # D=4 virtually never overflows; the builder grows the table if it does)
 
-WID_OOV = -1      # word exists but is not in the LM vocab
-WID_ABSENT = -2   # no word at this context position yet
+# absent-context sentinel: a context slot with h1 == EMPTY_KEY holds no
+# word yet (real word hashes are remapped away from EMPTY_KEY at build and
+# query time, so the sentinel is unambiguous)
+CTX_ABSENT = EMPTY_KEY
 
 
 def _mix_index(k1, k2, mask):
@@ -68,11 +75,12 @@ def _mix_index_b(k1, k2, mask):
 
 def _fold_ids(ids: np.ndarray, mult: np.uint32,
               reserve_empty: bool = False) -> np.ndarray:
-    """Fold an (..., n) int array of word ids into one uint32 key.
+    """Fold an (..., n) int array (word hash-pair columns) into one uint32
+    key.
 
     ``reserve_empty`` keeps EMPTY_KEY out of the result; it must be applied
     ONLY to the key1 column (the one vacancy is encoded in) and mirrored by
-    the runtime fold (_fold_ids_jnp remaps h1 only) so build-time and
+    the runtime fold (_fold_pairs_jnp remaps h1 only) so build-time and
     query-time key transforms stay identical."""
     h = np.full(ids.shape[:-1], FOLD_SEED, np.uint32)
     for j in range(ids.shape[-1]):
@@ -80,6 +88,20 @@ def _fold_ids(ids: np.ndarray, mult: np.uint32,
     if reserve_empty:
         h = np.where(h == EMPTY_KEY, h ^ np.uint32(1), h)
     return h
+
+
+def _word_hash(label_ids) -> "tuple[int, int]":
+    """Canonical (h1, h2) word identity: two rolling hashes over the
+    word's label-index sequence, h1 remapped away from EMPTY_KEY (the
+    table-vacancy / absent-context sentinel). The device beam maintains
+    the same pair incrementally as characters append (beam_device)."""
+    h1, h2 = int(CHAR_SEED), int(CHAR_SEED)
+    for ci in label_ids:
+        h1 = (h1 * int(CHAR_A1) + ci + 1) & 0xFFFFFFFF
+        h2 = (h2 * int(CHAR_A2) + ci + 1) & 0xFFFFFFFF
+    if h1 == int(EMPTY_KEY):
+        h1 ^= 1
+    return h1, h2
 
 
 @register_pytree_node_class
@@ -173,31 +195,30 @@ def _build_table(k1: np.ndarray, k2: np.ndarray, v0: np.ndarray,
 class PackedLM:
     """Pytree of the device LM; order/unk_logp/offsets are static aux.
 
-    ``ngrams`` holds ALL n-gram tables concatenated into ONE (S_total, 4)
-    uint32 array, with static per-table base offsets / index masks /
-    probe depths — so the per-step Katz-backoff scoring is ONE row
-    gather covering every n-gram probe of every beam (the vocab probe
-    stays separate: its result, the word id, feeds the n-gram keys)."""
+    ``ngrams`` holds ALL n-gram tables concatenated into ONE bucket-major
+    (n_buckets_total, BUCKET * 4) uint32 array, with static per-table base
+    offsets / index masks / probe depths — so the per-step Katz-backoff
+    scoring is ONE row gather covering every n-gram probe of every beam
+    (keys fold word hash pairs directly; no vocab probe precedes it)."""
 
-    def __init__(self, order: int, unk_logp: float, vocab: HashTable,
+    def __init__(self, order: int, unk_logp: float,
                  ngrams, bases, masks, depths):
         self.order = int(order)
         self.unk_logp = float(unk_logp)
-        self.vocab = vocab
         self.ngrams = ngrams
         self.bases = tuple(bases)
         self.masks = tuple(masks)
         self.depths = tuple(depths)
 
     def tree_flatten(self):
-        return ((self.vocab, self.ngrams),
+        return ((self.ngrams,),
                 (self.order, self.unk_logp, self.bases, self.masks,
                  self.depths))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        vocab, ngrams = children
-        return cls(aux[0], aux[1], vocab, ngrams, aux[2], aux[3], aux[4])
+        (ngrams,) = children
+        return cls(aux[0], aux[1], ngrams, aux[2], aux[3], aux[4])
 
 
 class DeviceNgramLM:
@@ -225,43 +246,32 @@ class DeviceNgramLM:
         unk = lm.ngrams[0].get(("<unk>",)) if lm.order >= 1 else None
         self.unk_logp = float(unk[0]) if unk is not None else -100.0
 
-        # --- vocab: word -> dense id; hash keys from label-index sequences
-        word_id = {}
-        vk1, vk2, vid = [], [], []
+        # --- word identities: (h1, h2) rolling hashes over label indices
+        # (no dense-id vocab table: n-gram keys fold the pairs directly,
+        # so the query side needs no vocab probe ahead of the n-gram probe)
+        word_hash = {}
         for (w,) in lm.ngrams[0]:
             if w in self.SPECIALS:
                 continue
             ids = [label_map.char_to_int.get(ch) for ch in w]
             if any(i is None for i in ids):
                 continue  # not formable by the decoder -> never looked up
-            h1, h2 = int(CHAR_SEED), int(CHAR_SEED)
-            for ci in ids:
-                h1 = (h1 * int(CHAR_A1) + ci + 1) & 0xFFFFFFFF
-                h2 = (h2 * int(CHAR_A2) + ci + 1) & 0xFFFFFFFF
-            if h1 == int(EMPTY_KEY):
-                h1 ^= 1
-            word_id[w] = len(word_id)
-            vk1.append(h1)
-            vk2.append(h2)
-            vid.append(word_id[w])
-        self.n_vocab = len(word_id)
-        self.vocab = _build_table(np.asarray(vk1, np.uint32),
-                                  np.asarray(vk2, np.uint32),
-                                  np.asarray(vid, np.float32),
-                                  np.zeros(len(vid), np.float32))
+            word_hash[w] = _word_hash(ids)
+        self.n_vocab = len(word_hash)
 
-        # --- n-gram tables (ids folded oldest -> newest)
+        # --- n-gram tables (hash pairs folded oldest -> newest)
         self.tables: List[HashTable] = []
         for n in range(1, self.order + 1):
             keys, logps, boffs = [], [], []
             for ngram, (logp, boff) in lm.ngrams[n - 1].items():
-                if any(w in self.SPECIALS or w not in word_id for w in ngram):
+                if any(w in self.SPECIALS or w not in word_hash
+                       for w in ngram):
                     continue
-                keys.append([word_id[w] for w in ngram])
+                keys.append([c for w in ngram for c in word_hash[w]])
                 logps.append(logp)
                 boffs.append(boff)
-            ids = (np.asarray(keys, np.int64).reshape(len(keys), n)
-                   if keys else np.zeros((0, n), np.int64))
+            ids = (np.asarray(keys, np.int64).reshape(len(keys), 2 * n)
+                   if keys else np.zeros((0, 2 * n), np.int64))
             self.tables.append(_build_table(
                 _fold_ids(ids, FOLD_A1, reserve_empty=True),
                 _fold_ids(ids, FOLD_A2),
@@ -270,59 +280,57 @@ class DeviceNgramLM:
     def _init_from_binary(self, path: str, labels: Sequence[str],
                           blank_index: int) -> None:
         """Build the device tables from a DSLMBIN2 binary (vectorized —
-        skips the python ARPA parse entirely). Word ids are the binary's
-        own dense ids; n-grams containing specials or label-unformable
-        words stay in the tables but are unreachable, because the vocab
-        table only maps formable plain words (the query side can never
-        produce the other ids) — same miss behavior as the ARPA build."""
+        skips the python ARPA parse entirely). The binary's dense word ids
+        are translated to the canonical (h1, h2) hash pairs; n-grams
+        containing specials or label-unformable words are dropped, exactly
+        as the ARPA build drops them (the decoder can never produce those
+        words, so the host scorer never finds them either)."""
         from dsjax.decode.lm import read_binary_lm_v2
 
         raw = read_binary_lm_v2(path)
         self.order = raw["order"]
         label_map = LabelMap(labels, blank_index)
         words = raw["words"]
-        assert len(words) < (1 << 24), \
-            "device LM stores word ids in f32 mantissa (vocab < 2^24)"
         unk_id = raw["unk_id"]
         self.unk_logp = (float(raw["uni_logp"][unk_id])
                          if unk_id is not None else -100.0)
 
-        vk1, vk2, vid = [], [], []
+        wh1 = np.zeros(len(words), np.int64)
+        wh2 = np.zeros(len(words), np.int64)
+        formable = np.zeros(len(words), bool)
         for wid, w in enumerate(words):
             if w in self.SPECIALS:
                 continue
             ids = [label_map.char_to_int.get(ch) for ch in w]
             if any(i is None for i in ids):
                 continue
-            h1, h2 = int(CHAR_SEED), int(CHAR_SEED)
-            for ci in ids:
-                h1 = (h1 * int(CHAR_A1) + ci + 1) & 0xFFFFFFFF
-                h2 = (h2 * int(CHAR_A2) + ci + 1) & 0xFFFFFFFF
-            if h1 == int(EMPTY_KEY):
-                h1 ^= 1
-            vk1.append(h1)
-            vk2.append(h2)
-            vid.append(wid)
-        self.n_vocab = len(vid)
-        self.vocab = _build_table(np.asarray(vk1, np.uint32),
-                                  np.asarray(vk2, np.uint32),
-                                  np.asarray(vid, np.float32),
-                                  np.zeros(len(vid), np.float32))
+            wh1[wid], wh2[wid] = _word_hash(ids)
+            formable[wid] = True
+        self.n_vocab = int(formable.sum())
+
+        def pair_cols(id_rows: np.ndarray) -> "tuple[np.ndarray, np.ndarray]":
+            keep = formable[id_rows].all(axis=1)
+            rows = id_rows[keep]
+            cols = np.empty((len(rows), 2 * rows.shape[1]), np.int64)
+            cols[:, 0::2] = wh1[rows]
+            cols[:, 1::2] = wh2[rows]
+            return cols, keep
 
         self.tables = []
         uni_ids = np.arange(len(words), dtype=np.int64)[:, None]
+        cols, keep = pair_cols(uni_ids)
         self.tables.append(_build_table(
-            _fold_ids(uni_ids, FOLD_A1, reserve_empty=True),
-            _fold_ids(uni_ids, FOLD_A2),
-            raw["uni_logp"].astype(np.float32),
-            raw["uni_backoff"].astype(np.float32)))
+            _fold_ids(cols, FOLD_A1, reserve_empty=True),
+            _fold_ids(cols, FOLD_A2),
+            raw["uni_logp"].astype(np.float32)[keep],
+            raw["uni_backoff"].astype(np.float32)[keep]))
         for n in range(2, self.order + 1):
-            ids = raw["ids"][n].astype(np.int64)
+            cols, keep = pair_cols(raw["ids"][n].astype(np.int64))
             self.tables.append(_build_table(
-                _fold_ids(ids, FOLD_A1, reserve_empty=True),
-                _fold_ids(ids, FOLD_A2),
-                raw["logp"][n].astype(np.float32),
-                raw["backoff"][n].astype(np.float32)))
+                _fold_ids(cols, FOLD_A1, reserve_empty=True),
+                _fold_ids(cols, FOLD_A2),
+                raw["logp"][n].astype(np.float32)[keep],
+                raw["backoff"][n].astype(np.float32)[keep]))
 
     def device(self) -> PackedLM:
         """Pack to device arrays in BUCKET-MAJOR layout: one table row =
@@ -341,9 +349,6 @@ class DeviceNgramLM:
         packed = jnp.asarray(_np.concatenate(
             [t.data.reshape(-1, BUCKET * 4) for t in self.tables], axis=0))
         return PackedLM(self.order, self.unk_logp,
-                        HashTable(jnp.asarray(
-                            self.vocab.data.reshape(-1, BUCKET * 4)),
-                                  self.vocab.depth),
                         packed, bases,
                         [t.mask for t in self.tables],
                         [t.depth for t in self.tables])
@@ -397,30 +402,23 @@ def jax_bitcast_f32(x):
     return jax.lax.bitcast_convert_type(x, np.float32)
 
 
-def _fold_ids_jnp(ids_list):
-    """Fold a list of (...,)-shaped int32 word-id arrays into uint32 keys."""
+def _fold_pairs_jnp(pairs):
+    """Fold a list of (h1, h2) uint32 word-identity pairs (oldest ->
+    newest) into uint32 keys, mirroring the build's _fold_ids over
+    interleaved pair columns. valid requires every pair's h1 to differ
+    from the CTX_ABSENT sentinel."""
     import jax.numpy as jnp
 
-    h1 = jnp.full(ids_list[0].shape, FOLD_SEED, jnp.uint32)
+    h1 = jnp.full(pairs[0][0].shape, FOLD_SEED, jnp.uint32)
     h2 = h1
-    valid = jnp.ones(ids_list[0].shape, bool)
-    for ids in ids_list:
-        u = (ids + 2).astype(jnp.uint32)
-        h1 = h1 * FOLD_A1 + u
-        h2 = h2 * FOLD_A2 + u
-        valid &= ids >= 0
+    valid = jnp.ones(pairs[0][0].shape, bool)
+    for a, b in pairs:
+        for u in (a.astype(jnp.uint32) + 2, b.astype(jnp.uint32) + 2):
+            h1 = h1 * FOLD_A1 + u
+            h2 = h2 * FOLD_A2 + u
+        valid &= a != CTX_ABSENT
     h1 = jnp.where(h1 == EMPTY_KEY, h1 ^ jnp.uint32(1), h1)
     return h1, h2, valid
-
-
-def vocab_lookup(lm: PackedLM, cur1, cur2):
-    """Rolling char-hash pair -> dense word id (WID_OOV when not in vocab)."""
-    import jax.numpy as jnp
-
-    # build-time keys reserve EMPTY_KEY for vacant slots; mirror the remap
-    cur1 = jnp.where(cur1 == EMPTY_KEY, cur1 ^ jnp.uint32(1), cur1)
-    found, vid, _ = _probe(lm.vocab, cur1, cur2)
-    return jnp.where(found, vid.astype(jnp.int32), WID_OOV)
 
 
 def _probe_packed(lm: PackedLM, probes):
@@ -456,12 +454,17 @@ def _probe_packed(lm: PackedLM, probes):
 
 
 def score_word_ln(lm: PackedLM, cur1, cur2, ctx, ctx_bos=None):
-    """ln P(word | context) plus the word's id and (optionally) the
-    backoff carries a beam should adopt if this word completes.
+    """ln P(word | context) plus the word's canonical identity pair and
+    (optionally) the backoff carries a beam should adopt if this word
+    completes.
 
     cur1/cur2: rolling char hashes of the word (any batch shape);
-    ctx: (..., order-1) int32 context word ids, oldest -> newest
-    (WID_ABSENT where history is shorter). Mirrors ArpaLM._score.
+    ctx: (..., order-1, 2) uint32 context word hash pairs, oldest ->
+    newest (h1 == CTX_ABSENT where history is shorter). Mirrors
+    ArpaLM._score. With ctx_bos carried, the whole query is ONE packed
+    gather of ``order`` probes — there is no vocab lookup: the unigram
+    probe's own hit flag is the in-vocab test (every LM word has a
+    unigram entry), so nothing serializes ahead of the gather.
 
     ctx_bos: (..., order-1) float32 CARRIED context backoffs —
     ctx_bos[..., j] = backoff weight (log10; 0 when the entry is absent)
@@ -474,22 +477,25 @@ def score_word_ln(lm: PackedLM, cur1, cur2, ctx, ctx_bos=None):
     ctx_bos is None (host-side tests / one-shot scoring) the backoffs
     are probed explicitly.
 
-    Returns (score_ln, wid, new_bos) where new_bos (..., order-1) are the
-    carries for a beam that commits this word (new_bos[..., j] = backoff
-    of (ctx[-(j):] + w), i.e. of the new context's length-(j+1) suffix).
-    """
+    Returns (score_ln, pair, new_bos): ``pair`` (..., 2) is the word's
+    canonical (h1-remapped) identity to append to ctx on commit;
+    new_bos (..., order-1) are the carries for a beam that commits this
+    word (new_bos[..., j] = backoff of (ctx[-(j):] + w), i.e. of the new
+    context's length-(j+1) suffix)."""
     import jax.numpy as jnp
 
-    wid = vocab_lookup(lm, cur1, cur2)
+    cur1 = jnp.where(cur1 == EMPTY_KEY, cur1 ^ jnp.uint32(1), cur1)
+    me = (cur1, cur2)
     probes = []                                    # table idx is static
-    k1, k2, v = _fold_ids_jnp([wid])
+    k1, k2, v = _fold_pairs_jnp([me])
     probes.append((0, k1, k2, v))
     for n in range(2, lm.order + 1):
-        ctx_n = [ctx[..., -(j + 1)] for j in range(n - 2, -1, -1)]
+        ctx_n = [(ctx[..., -(j + 1), 0], ctx[..., -(j + 1), 1])
+                 for j in range(n - 2, -1, -1)]
         if ctx_bos is None:
-            kc1, kc2, vc = _fold_ids_jnp(ctx_n)    # backoff(context)
+            kc1, kc2, vc = _fold_pairs_jnp(ctx_n)  # backoff(context)
             probes.append((n - 2, kc1, kc2, vc))
-        kf1, kf2, vf = _fold_ids_jnp(ctx_n + [wid])
+        kf1, kf2, vf = _fold_pairs_jnp(ctx_n + [me])
         probes.append((n - 1, kf1, kf2, vf))
     res = _probe_packed(lm, probes)
 
@@ -516,5 +522,6 @@ def score_word_ln(lm: PackedLM, cur1, cur2, ctx, ctx_bos=None):
             [jnp.where(fulls[j][0], fulls[j][2], 0.0)
              for j in range(lm.order - 1)], axis=-1)
     else:
-        new_bos = jnp.zeros(wid.shape + (0,), jnp.float32)
-    return s * LOG10_TO_LN, wid, new_bos
+        new_bos = jnp.zeros(cur1.shape + (0,), jnp.float32)
+    pair = jnp.stack([cur1, cur2], axis=-1)
+    return s * LOG10_TO_LN, pair, new_bos

@@ -15,9 +15,9 @@ import jax.numpy as jnp  # noqa: E402
 from dsjax.decode.beam import BeamCTCDecoder
 from dsjax.decode.beam_device import DeviceBeamDecoder, _beam_scan
 from dsjax.decode.lm import ArpaLM
-from dsjax.decode.lm_device import (CHAR_A1, CHAR_A2, CHAR_SEED, WID_ABSENT,
-                                    DeviceNgramLM, score_word_ln,
-                                    vocab_lookup)
+from dsjax.decode.lm_device import (CHAR_A1, CHAR_A2, CHAR_SEED, CTX_ABSENT,
+                                    EMPTY_KEY, LOG10_TO_LN, DeviceNgramLM,
+                                    score_word_ln)
 from dsjax.labels import LabelMap
 
 LABELS = ["_", "'", "A", "B", "C", " "]
@@ -65,7 +65,19 @@ def _char_hash(word, lmap):
         ci = lmap.char_to_int[ch]
         h1 = (h1 * int(CHAR_A1) + ci + 1) & 0xFFFFFFFF
         h2 = (h2 * int(CHAR_A2) + ci + 1) & 0xFFFFFFFF
+    if h1 == int(EMPTY_KEY):   # canonical identity remap (lm_device._word_hash)
+        h1 ^= 1
     return jnp.uint32(h1), jnp.uint32(h2)
+
+
+def _ctx_pairs(ctx_words, order, lmap):
+    """Context words -> (order-1, 2) uint32 hash-pair array, ABSENT-padded
+    on the left (the layout score_word_ln consumes)."""
+    pairs = [(int(a), int(b)) for a, b in
+             (_char_hash(w, lmap) for w in ctx_words)]
+    pairs = ([(int(CTX_ABSENT), int(CTX_ABSENT))] * (order - 1)
+             + pairs)[-(order - 1):]
+    return jnp.asarray(np.asarray(pairs, np.uint32))
 
 
 def test_packed_scorer_matches_arpa(arpa_path):
@@ -76,27 +88,28 @@ def test_packed_scorer_matches_arpa(arpa_path):
     packed = dev.device()
     lmap = LabelMap(LABELS, 0)
 
-    def wid(word):
-        return int(vocab_lookup(packed, *_char_hash(word, lmap)))
-
     words = ["CAB", "BAC", "AB", "A", "B", "CCCC", "BB"]  # last two OOV
     ctxs = [[], ["A"], ["CAB"], ["CAB", "AB"], ["A", "B"], ["CCCC", "A"],
             ["A", "CCCC"], ["B", "CAB"], ["BAC", "BAC"]]
     for w in words:
         for ctx in ctxs:
             want = host.score_word_ln(w, ctx)
-            ids = [wid(c) for c in ctx]
-            ids = ([WID_ABSENT] * (dev.order - 1) + ids)[-(dev.order - 1):]
             got, _, _ = score_word_ln(packed, *_char_hash(w, lmap),
-                                   jnp.asarray(ids, jnp.int32))
+                                      _ctx_pairs(ctx, dev.order, lmap))
             assert abs(want - float(got)) < 1e-5, (w, ctx, want, float(got))
 
 
-def test_vocab_lookup_oov(arpa_path):
-    packed = DeviceNgramLM(arpa_path, LABELS).device()
+def test_oov_word_scores_unk(arpa_path):
+    """An OOV word's hash pair misses the unigram table -> the score is
+    exactly the <unk> penalty, the host's OOV path."""
+    dev = DeviceNgramLM(arpa_path, LABELS)
+    packed = dev.device()
     lmap = LabelMap(LABELS, 0)
-    assert int(vocab_lookup(packed, *_char_hash("CAB", lmap))) >= 0
-    assert int(vocab_lookup(packed, *_char_hash("CCCC", lmap))) == -1
+    empty = _ctx_pairs([], dev.order, lmap)
+    s_in, _, _ = score_word_ln(packed, *_char_hash("CAB", lmap), empty)
+    s_oov, _, _ = score_word_ln(packed, *_char_hash("CCCC", lmap), empty)
+    assert abs(float(s_in) - (-0.8) * LOG10_TO_LN) < 1e-5
+    assert abs(float(s_oov) - (-2.0) * LOG10_TO_LN) < 1e-5
 
 
 def _random_spaceful_probs(rng, b, t):
@@ -287,22 +300,18 @@ def test_packed_tables_at_scale():
     cur = [_char_hash(words[i], lmap) for i in sample[:, 0]]
     h1 = jnp.asarray([int(a) for a, _ in cur], jnp.uint32)
     h2 = jnp.asarray([int(b) for _, b in cur], jnp.uint32)
-    wid_all = vocab_lookup(packed, h1, h2)
-    ctx_ids = np.stack([np.asarray(vocab_lookup(
-        packed,
-        jnp.asarray([int(_char_hash(words[i], lmap)[0]) for i in sample[:, k]],
-                    jnp.uint32),
-        jnp.asarray([int(_char_hash(words[i], lmap)[1]) for i in sample[:, k]],
-                    jnp.uint32))) for k in (1, 2)], axis=-1)
-    got, _, _ = score_word_ln(packed, h1, h2, jnp.asarray(ctx_ids, jnp.int32))
+    ctx_pairs = np.zeros((len(sample), 2, 2), np.uint32)
+    for j in range(len(sample)):
+        for k in (1, 2):
+            a, b = _char_hash(words[sample[j, k]], lmap)
+            ctx_pairs[j, k - 1] = (int(a), int(b))
+    got, _, _ = score_word_ln(packed, h1, h2, jnp.asarray(ctx_pairs))
     got = np.asarray(got)
     for j in range(len(sample)):
         w = words[sample[j, 0]]
         ctx = [words[sample[j, 1]], words[sample[j, 2]]]
         want = ref.score_word_ln(w, ctx)
         assert abs(want - got[j]) < 1e-4, (j, w, ctx, want, got[j])
-    # vocab ids are a bijection onto 0..n_vocab-1
-    assert int(np.asarray(wid_all).min()) >= 0
 
 
 @pytest.mark.parametrize("top_n,cprob,with_lm", [
@@ -367,19 +376,14 @@ def test_device_lm_from_binary_v2_matches_arpa(arpa_path, tmp_path):
     assert dev_bin.order == host.order
     lmap = LabelMap(LABELS, 0)
 
-    def wid(word):
-        return int(vocab_lookup(packed, *_char_hash(word, lmap)))
-
     words = ["CAB", "BAC", "AB", "A", "B", "CCCC", "BB"]
     ctxs = [[], ["A"], ["CAB"], ["CAB", "AB"], ["A", "B"], ["CCCC", "A"],
             ["A", "CCCC"], ["B", "CAB"], ["BAC", "BAC"]]
     for w in words:
         for ctx in ctxs:
             want = host.score_word_ln(w, ctx)
-            ids = [wid(c) for c in ctx]
-            ids = ([WID_ABSENT] * (dev_bin.order - 1) + ids)[-(dev_bin.order - 1):]
             got, _, _ = score_word_ln(packed, *_char_hash(w, lmap),
-                                   jnp.asarray(ids, jnp.int32))
+                                      _ctx_pairs(ctx, dev_bin.order, lmap))
             assert abs(want - float(got)) < 1e-5, (w, ctx, want, float(got))
 
 

@@ -51,9 +51,16 @@ def synth_arpa(path: str, vocab: int = 4000, bigrams: int = 60000,
         f.write("\n\\end\\\n")
 
 
-def rand_probs(rng, b, t, c):
-    """Peaky posteriors resembling a trained model's output."""
+def rand_probs(rng, b, t, c, blank_bias=0.0):
+    """Peaky posteriors resembling a trained model's output.
+
+    blank_bias > 0 adds the blank-dominance every trained CTC model shows
+    (the 'peaky CTC' property: most frames emit blank, so most beam steps
+    are stays) — bias 3.0 puts blank on top on ~2/3 of frames, roughly a
+    trained DeepSpeech2's regime; 0 keeps the flat worst case where nearly
+    every step extends every beam."""
     logits = rng.standard_normal((b, t, c)) * 3.0
+    logits[..., 0] += blank_bias
     e = np.exp(logits - logits.max(axis=-1, keepdims=True))
     return (e / e.sum(axis=-1, keepdims=True)).astype(np.float32)
 
@@ -105,6 +112,8 @@ def main():
                                alpha=0.4, beta=0.85)
     t_pack = time.perf_counter() - t0
     print(f"device LM pack+upload: {t_pack:.2f}s")
+    ctc_probs = rand_probs(np.random.default_rng(2), B, T,
+                           len(DEFAULT_LABELS), blank_bias=3.0)
     for width in (10, 128):
         for name, dd in (("no LM", DeviceBeamDecoder(DEFAULT_LABELS,
                                                      beam_width=width)),
@@ -112,14 +121,15 @@ def main():
                              DEFAULT_LABELS, beam_width=width, lm_path=arpa,
                              alpha=0.4, beta=0.85))):
             dd.decode(probs[:2, :64])  # warm compile
-            t0 = time.perf_counter()
-            dd.decode(probs)
-            dt = time.perf_counter() - t0
-            t0 = time.perf_counter()
-            dd.decode(probs)
-            dt = min(dt, time.perf_counter() - t0)
-            print(f"device beam  width {width:3d} ({name:6s}): "
-                  f"{B / dt:7.1f} utt/s ({dt / B * 1000:.1f} ms/utt)")
+            for tag, p in (("flat ", probs), ("ctc  ", ctc_probs)):
+                t0 = time.perf_counter()
+                dd.decode(p)
+                dt = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                dd.decode(p)
+                dt = min(dt, time.perf_counter() - t0)
+                print(f"device beam  width {width:3d} ({name:6s}, {tag}): "
+                      f"{B / dt:7.1f} utt/s ({dt / B * 1000:.1f} ms/utt)")
 
 
 if __name__ == "__main__":
