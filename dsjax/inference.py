@@ -33,6 +33,11 @@ class ModelBundle:
     variables: Dict[str, Any]
     labels: List[str]
     spect_cfg: SpectConfig
+    # shard eval batches over all local devices (a v5e-8 pod VM evaluates
+    # on 8 chips instead of 1); B=1 streaming/transcribe paths are
+    # untouched — the sharded jits only engage when the batch divides the
+    # device count. The reference evaluates on a single GPU (testing.py).
+    data_parallel: bool = True
 
     def __post_init__(self):
         # variables ride as jit ARGUMENTS (closures would bake weights into
@@ -51,16 +56,48 @@ class ModelBundle:
 
         self._apply_audio = jax.jit(_audio_apply)
 
+        self.mesh = None
+        self.batch_sharding = None
+        devs = jax.devices()
+        if self.data_parallel and len(devs) > 1:
+            from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+            self.mesh = Mesh(np.array(devs), ("data",))
+            self.batch_sharding = NamedSharding(self.mesh,
+                                                PartitionSpec("data"))
+            rep = NamedSharding(self.mesh, PartitionSpec())
+            bs = self.batch_sharding
+            self._apply_dp = jax.jit(
+                lambda v, x, lens: self.model.apply(v, x, lens, train=False),
+                in_shardings=(rep, bs, bs))
+            self._apply_audio_dp = jax.jit(_audio_apply,
+                                           in_shardings=(rep, bs, bs))
+
+    def _dp(self, batch: int) -> bool:
+        return (self.mesh is not None
+                and batch % self.mesh.devices.size == 0)
+
     def forward(self, spect: np.ndarray, lengths: np.ndarray, carry=None):
         """(B, F, T) features — or (B, L_pad) raw audio prepared by
         pad_audio_for_device, with the STFT fused into the jitted step —
-        -> (probs (B, T', C), out_lens, carry)."""
-        x = jnp.asarray(spect)
-        lens = jnp.asarray(lengths, jnp.int32)
-        if x.ndim == 2:
-            return self._apply_audio(self.variables, x, lens)
+        -> (probs (B, T', C), out_lens, carry). Posteriors come back
+        sharded over the data mesh when the batch divides the local
+        device count; device decoders consume them in place."""
+        dp = carry is None and self._dp(spect.shape[0])
+        if dp:
+            # hand inputs to the sharded jit as-is: in_shardings places
+            # them across the mesh (jnp.asarray would commit to device 0
+            # and force a reshard)
+            x, lens = spect, np.asarray(lengths, np.int32)
+        else:
+            x = jnp.asarray(spect)
+            lens = jnp.asarray(lengths, jnp.int32)
+        if spect.ndim == 2:
+            return (self._apply_audio_dp if dp else self._apply_audio)(
+                self.variables, x, lens)
         if carry is None:
-            return self._apply(self.variables, x, lens)
+            return (self._apply_dp if dp else self._apply)(
+                self.variables, x, lens)
         return self._apply_carry(self.variables, x, lens, carry)
 
 

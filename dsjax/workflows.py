@@ -159,12 +159,19 @@ def evaluate(cfg: EvalConfig) -> Tuple[float, float]:
         if n_fft != 2 * hop:  # device framing assumes 50% window overlap
             print("device_features disabled: window overlap != 50%")
             dev_feats = False
+    import jax
+
     ds = SpectrogramDataset(bundle.spect_cfg, cfg.test_path, bundle.labels,
                             normalize=True, device_features=dev_feats)
     sampler = OrderedBatchSampler(len(ds), cfg.batch_size)
+    # multi-chip host: pad the batch dim to a device-count multiple so the
+    # bundle's data-parallel forward engages (it shards batches over all
+    # local chips; the reference evaluates on one GPU)
+    n_dev = len(jax.devices()) if bundle.mesh is not None else 1
+    pad_b = -(-cfg.batch_size // n_dev) * n_dev
     pipe = DataPipeline(ds, sampler, bucket_frames=64, bucket_labels=64,
                         num_workers=cfg.num_workers, prefetch=2,
-                        pad_to_batch=cfg.batch_size)
+                        pad_to_batch=pad_b)
     wer, cer = WordErrorRate(), CharErrorRate()
     t0 = _time.time()
     n_utts = 0
@@ -207,6 +214,15 @@ def evaluate(cfg: EvalConfig) -> Tuple[float, float]:
 
     def _stage(batch):
         x = batch.inputs if batch.inputs is not None else batch.audio
+        # multi-chip host: place each batch straight into the bundle's
+        # data-parallel sharding so the forward never reshards
+        sh = (bundle.batch_sharding
+              if getattr(bundle, "_dp", lambda b: False)(x.shape[0])
+              else None)
+        if sh is not None:
+            return (jax.device_put(x, sh),
+                    jax.device_put(np.asarray(batch.input_lengths,
+                                              np.int32), sh))
         return (jax.device_put(x), jax.device_put(batch.input_lengths))
 
     t_warm = None   # time after the FIRST batch fully finishes: everything

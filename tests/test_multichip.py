@@ -90,3 +90,50 @@ def test_dcn_mesh_matches_flat_dp(dcn, dp, tp):
     _, loss_d = t_dcn.train_step(s_dcn, batch)
     _, loss_f = t_flat.train_step(s_flat, batch)
     np.testing.assert_allclose(float(loss_d), float(loss_f), rtol=1e-4)
+
+
+def test_data_parallel_inference_matches_single_device():
+    """ModelBundle shards eval batches over all local devices; outputs
+    must match the single-device forward exactly, and the device greedy
+    decoder must consume the sharded posteriors in place."""
+    from dsjax.config import SpectConfig
+    from dsjax.decode.greedy import GreedyDecoder
+    from dsjax.inference import ModelBundle
+    from dsjax.model.ds2 import DeepSpeech2
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    rng = np.random.default_rng(5)
+    model = DeepSpeech2(num_classes=len(DEFAULT_LABELS),
+                        spect_cfg=SpectConfig(),
+                        model_cfg=_cfg(8).model, dtype=jnp.float32)
+    x = rng.standard_normal((8, 161, 64)).astype(np.float32)
+    lens = np.full((8,), 64, np.int32)
+    lens[1::2] = 32
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x[:1]),
+                           jnp.asarray(lens[:1]), train=False)
+    variables = {"params": variables["params"],
+                 "batch_stats": variables["batch_stats"]}
+
+    dp_bundle = ModelBundle(model, variables, list(DEFAULT_LABELS),
+                            SpectConfig())
+    sd_bundle = ModelBundle(model, variables, list(DEFAULT_LABELS),
+                            SpectConfig(), data_parallel=False)
+    assert dp_bundle.mesh is not None and sd_bundle.mesh is None
+
+    p_dp, l_dp, _ = dp_bundle.forward(x, lens)
+    p_sd, l_sd, _ = sd_bundle.forward(x, lens)
+    assert len(p_dp.sharding.device_set) == len(jax.devices())
+    np.testing.assert_array_equal(np.asarray(l_dp), np.asarray(l_sd))
+    np.testing.assert_allclose(np.asarray(p_dp), np.asarray(p_sd),
+                               rtol=1e-6, atol=1e-6)
+
+    dec = GreedyDecoder(DEFAULT_LABELS)
+    d_dp, _ = dec.decode(p_dp, l_dp)
+    d_sd, _ = dec.decode(p_sd, l_sd)
+    assert d_dp == d_sd
+
+    # an indivisible batch falls back to the single-device jit
+    p7, l7, _ = dp_bundle.forward(x[:7], lens[:7])
+    np.testing.assert_allclose(np.asarray(p7), np.asarray(p_sd)[:7],
+                               rtol=1e-6, atol=1e-6)
