@@ -68,10 +68,14 @@ class DataPipeline:
         sub = -(-len(samples) // k)
         sub = -(-sub // q) * q          # shard-divisible sub-batch rows
         if self.pad_to_batch is None:
-            pad_to = None
-        else:
-            per = -(-self.pad_to_batch // k)
-            pad_to = -(-per // q) * q   # shard-divisible padded rows
+            # still honor the shard quantum: the FINAL slice can be short,
+            # so pad each block up to its own quantum multiple
+            pad = (lambda n: -(-n // q) * q) if q > 1 else (lambda n: None)
+            return [self._collate(samples[i:i + sub],
+                                  pad(len(samples[i:i + sub])))
+                    for i in range(0, len(samples), sub)]
+        per = -(-self.pad_to_batch // k)
+        pad_to = -(-per // q) * q       # shard-divisible padded rows
         return [self._collate(samples[i:i + sub], pad_to)
                 for i in range(0, len(samples), sub)]
 

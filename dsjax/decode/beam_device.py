@@ -390,9 +390,8 @@ def _beam_scan(log_probs: jnp.ndarray, sizes: jnp.ndarray, beam_width: int,
         # ending in space gains one more word bonus); display-only — the
         # returned carry stays bonus-free so streaming can continue
         cur1, cur2, ctx, in_word, _, ctx_bos = lm_state
-        cw_f = max(1, lm.order - 1)
         score_ln, _, _ = score_word_ln(
-            lm, cur1, cur2, ctx.reshape(ctx.shape[:-1] + (cw_f, 2)), ctx_bos)
+            lm, cur1, cur2, ctx.reshape(ctx.shape[:-1] + (cw, 2)), ctx_bos)
         totals = totals + jnp.where(in_word, alpha * score_ln + beta, 0.0)
     return backptr, emit, (h1_seq, h2_seq), totals, carry
 
@@ -517,6 +516,31 @@ class DeviceBeamDecoder:
             from dsjax.decode.lm_device import DeviceNgramLM
 
             self._lm = DeviceNgramLM(lm_path, labels, blank_index).device()
+        self._lm_rep = None          # lazily replicated copy (see _lm_for)
+        self._lm_rep_devices = None
+
+    def _lm_for(self, lp):
+        """LM tables placed to match the posteriors: when ``lp`` is sharded
+        over several devices (data-parallel evaluate), the tables must be
+        COMMITTED replicated across that device set once — an uncommitted
+        single-device operand of a sharded jit is re-broadcast on every
+        call, which for a real LM means shipping hundreds of MB per
+        batch."""
+        lm = self._lm
+        if lm is None:
+            return None
+        dset = getattr(getattr(lp, "sharding", None), "device_set", None)
+        if not dset or len(dset) <= 1:
+            return lm
+        if self._lm_rep is None or self._lm_rep_devices != dset:
+            from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+            mesh = Mesh(np.array(sorted(dset, key=lambda d: d.id)),
+                        ("data",))
+            self._lm_rep = jax.device_put(
+                lm, NamedSharding(mesh, PartitionSpec()))
+            self._lm_rep_devices = dset
+        return self._lm_rep
 
     def reset_params(self, alpha: float, beta: float) -> None:
         """LM weight update without rebuilding tables (tuner parity)."""
@@ -577,7 +601,7 @@ class DeviceBeamDecoder:
         lp = jnp.log(jnp.maximum(probs.astype(jnp.float32), 1e-30))
         lm_kw = {}
         if self._lm is not None:
-            lm_kw = dict(lm=self._lm, alpha=jnp.float32(self.alpha),
+            lm_kw = dict(lm=self._lm_for(lp), alpha=jnp.float32(self.alpha),
                          beta=jnp.float32(self.beta),
                          space=self.label_map.space_index)
         # scan + rank + backtrack in ONE device program; only the

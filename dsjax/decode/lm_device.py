@@ -380,22 +380,6 @@ def _bucket_rows(rows):
     return rows.reshape(rows.shape[:-1] + (BUCKET, 4))
 
 
-def _probe(table: HashTable, k1, k2):
-    """(found, val0, val1) for key (k1, k2); any leading batch shape."""
-    import jax.numpy as jnp
-
-    slots = _bucket_slots(k1, k2, jnp.uint32(table.mask))
-    rows = _bucket_rows(table.data[slots])              # (..., 2, B, 4)
-    hit = ((rows[..., 0] == k1[..., None, None])
-           & (rows[..., 1] == k2[..., None, None]))
-    found = hit.any((-2, -1))
-    # a key is stored at most once across its two buckets: a masked sum
-    # selects the hit without an argmax+gather
-    pick = lambda v: jnp.sum(jnp.where(hit, v, 0.0), axis=(-2, -1))
-    return found, pick(jax_bitcast_f32(rows[..., 2])), \
-        pick(jax_bitcast_f32(rows[..., 3]))
-
-
 def jax_bitcast_f32(x):
     import jax
 
@@ -500,7 +484,6 @@ def score_word_ln(lm: PackedLM, cur1, cur2, ctx, ctx_bos=None):
     res = _probe_packed(lm, probes)
 
     if ctx_bos is None:
-        f1, p1, b1 = res[0]
         fulls = [res[0]] + [res[i + 1] for i in range(1, len(res), 2)]
         ctx_bo_vals = []
         for i in range(1, len(res), 2):

@@ -67,6 +67,11 @@ class ModelBundle:
                                                 PartitionSpec("data"))
             rep = NamedSharding(self.mesh, PartitionSpec())
             bs = self.batch_sharding
+            # place the weights replicated ONCE: an operand that is not
+            # already committed to the jit's sharding is re-transferred on
+            # EVERY call (measured ~7x per-call overhead for weight-sized
+            # operands), which would eat the multi-chip speedup
+            self._vars_dp = jax.device_put(self.variables, rep)
             self._apply_dp = jax.jit(
                 lambda v, x, lens: self.model.apply(v, x, lens, train=False),
                 in_shardings=(rep, bs, bs))
@@ -86,18 +91,20 @@ class ModelBundle:
         dp = carry is None and self._dp(spect.shape[0])
         if dp:
             # hand inputs to the sharded jit as-is: in_shardings places
-            # them across the mesh (jnp.asarray would commit to device 0
-            # and force a reshard)
-            x, lens = spect, np.asarray(lengths, np.int32)
-        else:
-            x = jnp.asarray(spect)
-            lens = jnp.asarray(lengths, jnp.int32)
+            # host arrays across the mesh, and arrays the caller already
+            # staged with the batch sharding pass through untouched
+            # (jnp/np conversion would force a sync + reshard)
+            x = spect
+            lens = (lengths if isinstance(lengths, jax.Array)
+                    else np.asarray(lengths, np.int32))
+            return (self._apply_audio_dp if spect.ndim == 2
+                    else self._apply_dp)(self._vars_dp, x, lens)
+        x = jnp.asarray(spect)
+        lens = jnp.asarray(lengths, jnp.int32)
         if spect.ndim == 2:
-            return (self._apply_audio_dp if dp else self._apply_audio)(
-                self.variables, x, lens)
+            return self._apply_audio(self.variables, x, lens)
         if carry is None:
-            return (self._apply_dp if dp else self._apply)(
-                self.variables, x, lens)
+            return self._apply(self.variables, x, lens)
         return self._apply_carry(self.variables, x, lens, carry)
 
 

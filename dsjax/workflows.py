@@ -119,9 +119,16 @@ def train(cfg: TrainConfig) -> None:
                                 verbose=cfg.checkpoint.verbose)
     state = trainer.init_state()
     resume_extra = {}
-    if cfg.trainer.resume_from_checkpoint:
-        state, resume_extra = _resume_explicit(
-            cfg.trainer.resume_from_checkpoint, state)
+    # auto-resume WINS over an explicit resume_from_checkpoint when the
+    # run's own dirpath already holds a checkpoint (reference
+    # training.py:24-27 overwrites resume_from_checkpoint the same way):
+    # an elastically relaunched fine-tune must continue from ITS latest
+    # save, not restart from the original warm-start point
+    explicit = cfg.trainer.resume_from_checkpoint
+    if cfg.load_auto_checkpoint and handler.latest_step() is not None:
+        explicit = ""
+    if explicit:
+        state, resume_extra = _resume_explicit(explicit, state)
     elif cfg.load_auto_checkpoint:
         latest = find_latest_checkpoint_dir(ckpt_dir)
         if latest is not None:
@@ -208,8 +215,6 @@ def evaluate(cfg: EvalConfig) -> Tuple[float, float]:
     # stage uploads ahead: the transfer of batch k+1 rides under the
     # forward/decode of batch k (same pattern as Trainer.fit's
     # DevicePrefetcher; evaluate is single-process)
-    import jax
-
     from dsjax.data.loader import DevicePrefetcher
 
     def _stage(batch):

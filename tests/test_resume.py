@@ -130,3 +130,32 @@ def test_warm_start_from_torch_ckpt(tmp_path):
                                 "trainer.precision=32"])
     with pytest.raises(ValueError, match="does not match"):
         _resume_explicit(path, Trainer(bad, list(DEFAULT_LABELS)).init_state())
+
+
+def test_auto_resume_wins_over_explicit_on_relaunch(dataset, tmp_path, capsys):
+    """Elastic relaunch semantics (reference training.py:24-27): when
+    load_auto_checkpoint finds a checkpoint in the run's OWN dirpath, it
+    overrides resume_from_checkpoint — a preempted fine-tune continues
+    from its latest save, not from the original warm-start point."""
+    from dsjax.workflows import train
+
+    root, manifest = dataset
+    labels_path = str(tmp_path / "labels.json")
+    with open(labels_path, "w") as f:
+        json.dump(DEFAULT_LABELS, f)
+    ckpt_a = str(tmp_path / "a")
+    ckpt_b = str(tmp_path / "b")
+
+    train(_cfg(manifest, ckpt_a, labels_path, "trainer.max_epochs=1"))
+    args = (manifest, ckpt_b, labels_path,
+            f"trainer.resume_from_checkpoint={ckpt_a}",
+            "load_auto_checkpoint=true")
+    # first launch: no checkpoint in ckpt_b yet -> explicit warm start
+    train(_cfg(*args, "trainer.max_epochs=2"))
+    out = capsys.readouterr().out
+    assert f"resumed from {os.path.abspath(ckpt_a)}" in out
+    # relaunch (as after preemption): ckpt_b now has its own checkpoint
+    train(_cfg(*args, "trainer.max_epochs=3"))
+    out = capsys.readouterr().out
+    assert f"resumed from {os.path.abspath(ckpt_a)}" not in out
+    assert "auto-resumed from step 4" in out
