@@ -137,3 +137,54 @@ def test_data_parallel_inference_matches_single_device():
     p7, l7, _ = dp_bundle.forward(x[:7], lens[:7])
     np.testing.assert_allclose(np.asarray(p7), np.asarray(p_sd)[:7],
                                rtol=1e-6, atol=1e-6)
+
+
+def test_device_beam_lm_on_sharded_posteriors():
+    """DeviceBeamDecoder consumes data-parallel-sharded posteriors: the LM
+    tables replicate lazily across the posterior's device set and results
+    equal the single-device decode exactly."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+    from dsjax.decode.beam_device import DeviceBeamDecoder
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    arpa = """\\data\\
+ngram 1=5
+ngram 2=2
+
+\\1-grams:
+-1.0\t<s>\t-0.5
+-1.2\t</s>
+-0.8\tAB\t-0.3
+-1.1\tA\t-0.4
+-2.0\t<unk>
+
+\\2-grams:
+-0.2\tAB A
+-0.4\tA AB
+
+\\end\\
+"""
+    import tempfile
+
+    with tempfile.NamedTemporaryFile("w", suffix=".arpa", delete=False) as f:
+        f.write(arpa)
+        arpa_path = f.name
+    labels = ["_", "'", "A", "B", "C", " "]
+    rng = np.random.default_rng(9)
+    logits = rng.standard_normal((8, 40, len(labels))).astype(np.float32)
+    logits[..., 5] += 1.0
+    probs = np.asarray(jax.nn.softmax(jnp.asarray(logits), -1))
+
+    dec = DeviceBeamDecoder(labels, beam_width=8, lm_path=arpa_path,
+                            alpha=0.6, beta=0.4)
+    want, _ = dec.decode(probs, n_best=1)
+
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    sharded = jax.device_put(probs, NamedSharding(mesh,
+                                                  PartitionSpec("data")))
+    got, _ = dec.decode(sharded, n_best=1)
+    assert got == want
+    assert dec._lm_rep is not None                 # lazy replication ran
+    assert len(dec._lm_rep.ngrams.sharding.device_set) == len(jax.devices())
