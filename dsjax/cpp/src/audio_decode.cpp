@@ -503,6 +503,9 @@ struct WebmTrack {
 struct WebmAudio {
     WebmTrack track;
     std::vector<std::vector<uint8_t>> frames;
+    // a Block arrived before the audio track was known (clusters before
+    // tracks): the walk must run again to collect the skipped frames
+    bool skipped_blocks = false;
 };
 
 // parse a Block/SimpleBlock payload; append frames of `track`
@@ -569,6 +572,10 @@ void webm_walk(const Ebml &e, int64_t pos, int64_t end, WebmAudio *out,
         int64_t payload_end =
             size == ~0ULL ? end : pos + (int64_t)size;
         if (payload_end > end) payload_end = end;
+        // every LEAF read below must use the CLAMPED extent, never the
+        // declared size: a malformed/truncated upload can declare sizes
+        // past the buffer (the recursive cases already clamp)
+        int64_t leaf = payload_end - pos;
         switch (id) {
             case 0x18538067:  // Segment
             case 0x1654AE6B:  // Tracks
@@ -589,26 +596,28 @@ void webm_walk(const Ebml &e, int64_t pos, int64_t end, WebmAudio *out,
                 if (cur_entry) webm_walk(e, pos, payload_end, out, cur_entry);
                 break;
             case 0xD7:        // TrackNumber
-                if (cur_entry) cur_entry->number = read_uint(e.data + pos, size);
+                if (cur_entry && leaf <= 8)
+                    cur_entry->number = read_uint(e.data + pos, leaf);
                 break;
             case 0x86:        // CodecID
                 if (cur_entry)
-                    cur_entry->codec.assign((const char *)e.data + pos, (size_t)size);
+                    cur_entry->codec.assign((const char *)e.data + pos, (size_t)leaf);
                 break;
             case 0x63A2:      // CodecPrivate
                 if (cur_entry)
-                    cur_entry->codec_private.assign(e.data + pos, e.data + pos + size);
+                    cur_entry->codec_private.assign(e.data + pos, e.data + pos + leaf);
                 break;
             case 0x9F:        // Channels
-                if (cur_entry) cur_entry->channels = (int)read_uint(e.data + pos, size);
+                if (cur_entry && leaf <= 8)
+                    cur_entry->channels = (int)read_uint(e.data + pos, leaf);
                 break;
             case 0xB5: {      // SamplingFrequency (BE float 4 or 8)
-                if (cur_entry && size == 4) {
+                if (cur_entry && size == 4 && leaf >= 4) {
                     uint32_t v = (uint32_t)read_uint(e.data + pos, 4);
                     float f;
                     memcpy(&f, &v, 4);
                     cur_entry->rate = f;
-                } else if (cur_entry && size == 8) {
+                } else if (cur_entry && size == 8 && leaf >= 8) {
                     uint64_t v = read_uint(e.data + pos, 8);
                     double d;
                     memcpy(&d, &v, 8);
@@ -619,7 +628,9 @@ void webm_walk(const Ebml &e, int64_t pos, int64_t end, WebmAudio *out,
             case 0xA3:        // SimpleBlock
             case 0xA1:        // Block
                 if (out->track.number != 0)
-                    webm_block(e.data + pos, (int64_t)size, out);
+                    webm_block(e.data + pos, leaf, out);
+                else
+                    out->skipped_blocks = true;
                 break;
             default:
                 break;
@@ -632,11 +643,14 @@ void webm_walk(const Ebml &e, int64_t pos, int64_t end, WebmAudio *out,
 bool decode_webm(const uint8_t *data, int64_t len, Pcm *out) {
     WebmAudio wa;
     Ebml e{data, len};
-    // two passes: first collects the track info, second the frames
+    // one pass suffices for the common tracks-before-clusters layout;
+    // only re-walk when blocks preceded the track entry
     webm_walk(e, 0, len, &wa, nullptr);
     if (wa.track.number == 0) return false;
-    wa.frames.clear();
-    webm_walk(e, 0, len, &wa, nullptr);
+    if (wa.skipped_blocks) {
+        wa.frames.clear();
+        webm_walk(e, 0, len, &wa, nullptr);
+    }
     if (wa.track.codec == "A_OPUS") {
         OpusHead head = parse_opus_head(wa.track.codec_private.data(),
                                         wa.track.codec_private.size());

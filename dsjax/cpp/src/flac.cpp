@@ -72,7 +72,10 @@ uint64_t read_coded_number(BitReader& br) {
   if ((b0 & 0x80) == 0) return b0;
   for (int mask = 0x40; b0 & mask; mask >>= 1) ++n_extra;
   v = b0 & ((1u << (7 - n_extra)) - 1);
-  for (int i = 0; i < n_extra - 1; ++i) v = (v << 6) | (br.read_bits(8) & 0x3F);
+  // n_extra CONTINUATION bytes follow the leader (frame numbers >= 128
+  // use the 2-byte form; reading one byte short desynced every later
+  // field of long fixed-blocksize streams)
+  for (int i = 0; i < n_extra; ++i) v = (v << 6) | (br.read_bits(8) & 0x3F);
   return v;
 }
 
@@ -164,11 +167,9 @@ bool decode_subframe(BitReader& br, int blocksize, int bps,
 
 }  // namespace
 
-extern "C" {
-
-// Returns 0 on success. Caller frees *out_samples with ds_flac_free.
-int ds_flac_decode(const char* path, int32_t** out_samples, int64_t* out_n,
-                   int* out_channels, int* out_rate, int* out_bps) {
+static int flac_decode_impl(const char* path, int32_t** out_samples,
+                            int64_t* out_n, int* out_channels, int* out_rate,
+                            int* out_bps) {
   FILE* f = fopen(path, "rb");
   if (!f) return 1;
   fseek(f, 0, SEEK_END);
@@ -193,6 +194,7 @@ int ds_flac_decode(const char* path, int32_t** out_samples, int64_t* out_n,
     int type = hdr & 0x7F;
     uint32_t len = (buf[pos + 1] << 16) | (buf[pos + 2] << 8) | buf[pos + 3];
     pos += 4;
+    if (pos + len > (size_t)fsize) return 3;  // truncated metadata block
     if (type == 0 && len >= 34) {  // STREAMINFO
       const uint8_t* s = buf.data() + pos;
       sample_rate = (s[10] << 12) | (s[11] << 4) | (s[12] >> 4);
@@ -207,7 +209,14 @@ int ds_flac_decode(const char* path, int32_t** out_samples, int64_t* out_n,
   if (!have_streaminfo || sample_rate == 0) return 3;
 
   std::vector<int32_t> pcm;
-  if (total_samples) pcm.reserve(total_samples * channels);
+  // reserve is only a hint: clamp it by the compressed size (FLAC can't
+  // expand much beyond ~4 samples/byte even for constant frames), so a
+  // crafted 36-bit total_samples can't request terabytes up front
+  if (total_samples) {
+    uint64_t want = total_samples * (uint64_t)channels;
+    uint64_t cap = (uint64_t)fsize * 4 + 65536;
+    pcm.reserve((size_t)(want < cap ? want : cap));
+  }
 
   BitReader br{buf.data(), (size_t)fsize};
   br.byte_pos = pos;
@@ -252,6 +261,7 @@ int ds_flac_decode(const char* path, int32_t** out_samples, int64_t* out_n,
       right_side = ch_asgn == 9;
       mid_side = ch_asgn == 10;
       if (ch_asgn > 10) return 4;
+      if (channels != 2) return 4;  // decorrelated frames are stereo-only
     } else {
       n_ch = ch_asgn + 1;
       if (n_ch != channels) return 4;
@@ -296,6 +306,21 @@ int ds_flac_decode(const char* path, int32_t** out_samples, int64_t* out_n,
   *out_rate = sample_rate;
   *out_bps = bps;
   return 0;
+}
+
+extern "C" {
+
+// Returns 0 on success. Caller frees *out_samples with ds_flac_free.
+int ds_flac_decode(const char* path, int32_t** out_samples, int64_t* out_n,
+                   int* out_channels, int* out_rate, int* out_bps) {
+  // exception firewall: a std::bad_alloc (decompression bomb) or any other
+  // C++ exception must not cross the ctypes FFI boundary (std::terminate)
+  try {
+    return flac_decode_impl(path, out_samples, out_n, out_channels, out_rate,
+                            out_bps);
+  } catch (...) {
+    return 6;
+  }
 }
 
 void ds_flac_free(int32_t* p) { free(p); }

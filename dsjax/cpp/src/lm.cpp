@@ -280,10 +280,13 @@ double BinaryLM::score_ids(const uint32_t* ids, size_t n) const {
 
 double BinaryLM::score_word(const std::vector<std::string>& context,
                             const std::string& word) const {
-  uint32_t ids[16];
+  // order is validated <= 64 at load; size the ids buffer to match so a
+  // high-order LM scores identically to the ArpaLM twin (a 16-entry
+  // buffer silently dropped context beyond 15 words)
+  uint32_t ids[64];
   size_t ctx_keep =
       order_ > 1
-          ? std::min(context.size(), (size_t)std::min(order_ - 1, 15))
+          ? std::min(context.size(), (size_t)std::min(order_ - 1, 63))
           : 0;
   size_t n = 0;
   for (size_t i = context.size() - ctx_keep; i < context.size(); ++i)
@@ -334,7 +337,12 @@ int BuildBinaryLm(const std::string& arpa_path, const std::string& out_path) {
 
   FILE* out = fopen(out_path.c_str(), "wb");
   if (!out) return 3;
-  auto w = [&](const void* ptr, size_t len) { fwrite(ptr, 1, len, out); };
+  // track I/O failures (disk full etc.): a silently truncated binary
+  // would pass here and only surface as a corrupt LM at decode time
+  bool io_error = false;
+  auto w = [&](const void* ptr, size_t len) {
+    if (fwrite(ptr, 1, len, out) != len) io_error = true;
+  };
   auto pad8 = [&]() {
     long pos = ftell(out);
     static const char z[8] = {0};
@@ -450,7 +458,11 @@ int BuildBinaryLm(const std::string& arpa_path, const std::string& out_path) {
   // rewrite counts with any skip-adjusted values
   fseek(out, 24, SEEK_SET);
   w(counts.data(), 8 * order);
-  fclose(out);
+  if (fclose(out) != 0) io_error = true;
+  if (io_error) {
+    remove(out_path.c_str());
+    return 5;  // short write (e.g. disk full): never leave a corrupt file
+  }
   return 0;
 }
 

@@ -75,3 +75,43 @@ def test_convert_to_wav_flac(tmp_path):
     convert_to_wav(str(src), str(dst), 16000)
     y = load_audio(str(dst))
     np.testing.assert_allclose(y, x / 32768.0, atol=2 / 32768)
+
+
+def test_long_stream_frame_numbers_over_127(tmp_path):
+    """Frame numbers >= 128 use the 2-byte UTF-8-style coded form; the
+    decoder read one continuation byte short and desynced every stream
+    longer than 128 frames (~33 s at 4096/16 kHz) — LibriSpeech territory."""
+    rng = np.random.default_rng(2)
+    n_frames = 140
+    block = 256                     # small blocks: 140 frames in ~36k samples
+    x = (np.sin(np.arange(n_frames * block) * 0.03) * 6000 +
+         rng.standard_normal(n_frames * block) * 50).astype(np.int32)
+    arr = _roundtrip(tmp_path, x, block_size=block,
+                     modes=["fixed1", "fixed2"])
+    np.testing.assert_array_equal(arr[:, 0], x)
+
+
+def test_truncated_and_bomb_headers_fail_cleanly(tmp_path):
+    """Malformed headers (server-reachable): truncated metadata must not
+    read out of bounds, and a 36-bit total_samples bomb must not abort the
+    process via bad_alloc across the FFI boundary."""
+    good = bytearray(encode_flac(np.zeros(512, np.int32), 16000))
+    # truncated: metadata length field points past EOF
+    trunc = bytes(good[:8]) + b"\x00\x7f\xff\xff"
+    p = tmp_path / "trunc.flac"
+    p.write_bytes(trunc)
+    with pytest.raises(Exception):
+        flac_binding.decode_flac_int(str(p))
+    # bomb: STREAMINFO declares 2^36-1 total samples, 8 channels
+    bomb = bytearray(good)
+    # STREAMINFO payload starts at 8 (4 magic + 4 header); bytes 12/13
+    # hold channels/bps bits, 13..17 hold the 36-bit total count
+    bomb[8 + 12] = (bomb[8 + 12] & 0xF1) | (7 << 1)   # channels = 8
+    bomb[8 + 13] |= 0x0F
+    bomb[8 + 14:8 + 18] = b"\xff\xff\xff\xff"
+    p2 = tmp_path / "bomb.flac"
+    p2.write_bytes(bytes(bomb))
+    try:
+        flac_binding.decode_flac_int(str(p2))   # may fail, must not abort
+    except Exception:
+        pass
