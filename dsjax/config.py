@@ -158,6 +158,10 @@ class TrainerConfig:
     limit_train_batches: float = 1.0    # fraction (<=1.0) or count (>1)
     limit_val_batches: float = 1.0
     log_every_n_steps: int = 50
+    # metrics directory: every run writes metrics.jsonl + TensorBoard event
+    # files here by default (reference parity: Lightning's default
+    # TensorBoardLogger, configs/lightning_config.py:28-30). '' disables.
+    log_dir: str = "logs"
     val_check_interval: float = 1.0     # fraction of epoch between val runs
     accumulate_grad_batches: int = 1
     enable_checkpointing: bool = True

@@ -142,8 +142,25 @@ def train(cfg: TrainConfig) -> None:
     if resume_extra.get("start_index"):
         # mid-epoch resume: skip the bins already consumed this epoch
         train_pipe.sampler.start_index = int(resume_extra["start_index"])
-    trainer.fit(train_pipe, val_pipe, checkpoint_handler=handler, state=state)
-    handler.close()
+    # default-on run metrics: metrics.jsonl + TensorBoard event files
+    # (reference logs every run via Lightning's TensorBoardLogger by
+    # default, configs/lightning_config.py:28-30); process 0 only in
+    # multi-host runs — metrics are already globally reduced there
+    metrics_logger = None
+    import jax
+
+    if cfg.trainer.log_dir and jax.process_index() == 0:
+        from dsjax.train.logging import MetricsLogger
+
+        metrics_logger = MetricsLogger(cfg.trainer.log_dir)
+        print(f"logging metrics to {metrics_logger.path}")
+    try:
+        trainer.fit(train_pipe, val_pipe, checkpoint_handler=handler,
+                    state=state, metrics_logger=metrics_logger)
+    finally:
+        if metrics_logger is not None:
+            metrics_logger.close()
+        handler.close()
 
 
 def evaluate(cfg: EvalConfig) -> Tuple[float, float]:

@@ -29,6 +29,7 @@ def _cfg(manifest, ckpt_dir, labels_path, *extra):
         "model.hidden_size=16", "model.hidden_layers=1",
         "trainer.precision=32", "trainer.limit_train_batches=2",
         "trainer.limit_val_batches=1", "trainer.log_every_n_steps=1",
+        f"trainer.log_dir={ckpt_dir}/logs",
         f"checkpoint.dirpath={ckpt_dir}", *extra])
 
 

@@ -60,6 +60,8 @@ def _tiny_cfg(manifest, ckpt_dir, labels_path):
         "trainer.limit_train_batches=2",
         "trainer.limit_val_batches=1",
         "trainer.log_every_n_steps=1",
+        "trainer.val_check_interval=0.5",
+        f"trainer.log_dir={ckpt_dir}/logs",
         f"checkpoint.dirpath={ckpt_dir}",
         "checkpoint.save_top_k=1",
     ])
@@ -78,6 +80,23 @@ def test_train_eval_transcribe_roundtrip(dataset, tmp_path):
     train(cfg)
     assert os.path.isfile(os.path.join(ckpt_dir, "meta.json"))
     assert os.path.isdir(os.path.join(ckpt_dir, "last"))
+
+    # default-on observability: train() leaves metrics.jsonl + tfevents
+    # (reference parity: Lightning's default TensorBoardLogger). Schema:
+    # per-step loss rows, a MID-epoch wer/cer row (val_check_interval=0.5),
+    # and the epoch-end wer/cer/mean_loss row.
+    import glob
+
+    rows = [json.loads(l)
+            for l in open(os.path.join(ckpt_dir, "logs", "metrics.jsonl"))]
+    assert all("step" in r and "time" in r for r in rows)
+    loss_rows = [r for r in rows if "loss" in r]
+    val_rows = [r for r in rows if "wer" in r and "cer" in r]
+    assert loss_rows and all("utt_per_sec" in r for r in loss_rows)
+    assert len(val_rows) >= 2, "expected mid-epoch AND epoch-end val rows"
+    assert "mean_loss" in val_rows[-1]  # epoch-end row
+    assert "mean_loss" not in val_rows[0]  # mid-epoch row
+    assert glob.glob(os.path.join(ckpt_dir, "logs", "events.out.tfevents.*"))
 
     eval_cfg = compose(EvalConfig, [
         f"model.model_path={ckpt_dir}",
