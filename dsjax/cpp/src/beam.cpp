@@ -55,6 +55,7 @@ struct BeamScore {
 struct TrieNode {
   TrieNode* parent = nullptr;
   TrieNode* first_child = nullptr;
+  TrieNode* last_child = nullptr;
   TrieNode* next_sibling = nullptr;
   int label = -1;       // label id of the edge from parent
   int timestep = -1;    // loudest attempt frame (ctcdecode timestep)
@@ -65,6 +66,14 @@ struct TrieNode {
   BeamScore pending;    // per-step merged candidate mass
   double lm_memo = 0.0; // word-boundary LM bonus (prefix-invariant)
   bool lm_cached = false;
+  // deterministic tie-breaking (python-twin parity): children append in
+  // first-attempt order and carry a monotone per-parent sibling index, so
+  // equal-score beam candidates can be ordered by trie PREORDER — exactly
+  // the order the python twin's stable sort over iterate_to_vec produces.
+  int sib = 0;          // insertion index within parent (monotone)
+  int n_sibs = 0;       // next sibling index to hand out
+  int fresh_epoch = -1; // per-step fresh-extension counter (virtual sibs)
+  int fresh_n = 0;
 
   TrieNode* find_child(int l) const {
     for (TrieNode* c = first_child; c; c = c->next_sibling)
@@ -74,8 +83,15 @@ struct TrieNode {
 
   void unlink_child(TrieNode* child) {
     TrieNode** slot = &first_child;
-    while (*slot && *slot != child) slot = &(*slot)->next_sibling;
-    if (*slot) *slot = child->next_sibling;
+    TrieNode* prev = nullptr;
+    while (*slot && *slot != child) {
+      prev = *slot;
+      slot = &(*slot)->next_sibling;
+    }
+    if (*slot) {
+      *slot = child->next_sibling;
+      if (last_child == child) last_child = prev;
+    }
   }
 
   // ctcdecode PathTrie::remove(): mark dead; delete (unlink) childless
@@ -101,8 +117,16 @@ struct Arena {
     n->timestep = t;
     n->log_prob_c = log_prob_c;
     n->depth = parent->depth + 1;
-    n->next_sibling = parent->first_child;
-    parent->first_child = n;
+    // APPEND (python-dict insertion-order parity; preorder tie-breaks
+    // downstream depend on it) with a monotone sibling index — deletion
+    // never reuses an index, matching dict re-insertion at the end
+    n->sib = parent->n_sibs++;
+    if (parent->last_child) {
+      parent->last_child->next_sibling = n;
+    } else {
+      parent->first_child = n;
+    }
+    parent->last_child = n;
     return n;
   }
 };
@@ -211,6 +235,7 @@ int ds_beam_decode(void* decoder, const float* probs, int t_dim, int c_dim,
     int label;
     double p_nb;
     double p_c;          // frame char log-prob (node state if it wins)
+    int sib;             // virtual sibling index (preorder tie-breaks)
   };
   std::vector<TrieNode*> touched;
   std::vector<Fresh> fresh;
@@ -222,6 +247,32 @@ int ds_beam_decode(void* decoder, const float* probs, int t_dim, int c_dim,
   std::vector<Ranked> ranked;
   std::vector<int> order(c_dim);
   std::vector<double> log_row(c_dim);
+  std::vector<TrieNode*> fresh_nodes;
+
+  // Preorder (trie DFS) comparison — the python twin prunes with a STABLE
+  // sort over its preorder node collection, so equal-total candidates are
+  // kept in preorder; reproducing that makes tie-breaking deterministic
+  // and identical across the two implementations. Candidates are a trie
+  // node or a fresh (virtual last-children) record; compare the root-paths
+  // of sibling indices lexicographically (ancestor before descendant).
+  std::vector<int> path_a, path_b;
+  auto fill_path = [](const TrieNode* n, int extra, std::vector<int>& out) {
+    out.clear();
+    if (extra >= 0) out.push_back(extra);
+    for (const TrieNode* p = n; p && p->parent; p = p->parent)
+      out.push_back(p->sib);
+    std::reverse(out.begin(), out.end());
+  };
+  auto preorder_less = [&](const Ranked& a, const Ranked& b) {
+    const TrieNode* na = a.node ? a.node : fresh[a.idx].parent;
+    const TrieNode* nb = b.node ? b.node : fresh[b.idx].parent;
+    int ea = a.node ? -1 : fresh[a.idx].sib;
+    int eb = b.node ? -1 : fresh[b.idx].sib;
+    fill_path(na, ea, path_a);
+    fill_path(nb, eb, path_b);
+    return std::lexicographical_compare(path_a.begin(), path_a.end(),
+                                        path_b.begin(), path_b.end());
+  };
 
   // the word-boundary LM bonus depends only on the prefix node; memoize
   // in-node (recomputing would walk the trie + query the LM for every
@@ -237,10 +288,11 @@ int ds_beam_decode(void* decoder, const float* probs, int t_dim, int c_dim,
 
   for (int t = 0; t < t_dim; ++t) {
     const float* row = probs + (size_t)t * c_dim;
-    // candidate pruning
+    // candidate pruning (ties by index, python-twin stable-argsort parity)
     for (int c = 0; c < c_dim; ++c) order[c] = c;
-    std::sort(order.begin(), order.end(),
-              [&](int a, int b) { return row[a] > row[b]; });
+    std::sort(order.begin(), order.end(), [&](int a, int b) {
+      return row[a] != row[b] ? row[a] > row[b] : a < b;
+    });
     int n_keep = c_dim;
     if (cutoff_prob < 1.0) {
       double cum = 0.0;
@@ -309,7 +361,12 @@ int ds_beam_decode(void* decoder, const float* probs, int t_dim, int c_dim,
           // receive mass from more than one source. A losing fresh record
           // never materializes, which equals ctcdecode's create-then-
           // remove of a pruned childless leaf.
-          fresh.push_back(Fresh{prefix, c, sc, p_c});
+          if (prefix->fresh_epoch != t) {
+            prefix->fresh_epoch = t;
+            prefix->fresh_n = 0;
+          }
+          fresh.push_back(Fresh{prefix, c, sc, p_c,
+                                prefix->n_sibs + prefix->fresh_n++});
         }
       }
     }
@@ -330,17 +387,31 @@ int ds_beam_decode(void* decoder, const float* probs, int t_dim, int c_dim,
     }
     int keep = std::min<int>(beam_width, (int)ranked.size());
     std::partial_sort(ranked.begin(), ranked.begin() + keep, ranked.end(),
-                      [](const Ranked& a, const Ranked& b) {
-                        return a.total > b.total;
+                      [&](const Ranked& a, const Ranked& b) {
+                        if (a.total != b.total) return a.total > b.total;
+                        return preorder_less(a, b);
                       });
+    // materialize winning fresh prefixes in ENCOUNTER order so their
+    // sibling indices reproduce the python twin's attempt-time insertion
+    // order (preorder ties in later steps depend on it)
+    fresh_nodes.assign(fresh.size(), nullptr);
+    {
+      std::vector<int> winner_idx;
+      for (int i = 0; i < keep; ++i)
+        if (!ranked[i].node) winner_idx.push_back(ranked[i].idx);
+      std::sort(winner_idx.begin(), winner_idx.end());
+      for (int idx : winner_idx) {
+        const Fresh& f = fresh[idx];
+        fresh_nodes[idx] = arena.make(f.parent, f.label, t, f.p_c);
+      }
+    }
     beams.clear();
     for (int i = 0; i < keep; ++i) {
       if (ranked[i].node) {
         beams.emplace_back(ranked[i].node, ranked[i].node->pending);
       } else {
-        const Fresh& f = fresh[ranked[i].idx];
-        TrieNode* n = arena.make(f.parent, f.label, t, f.p_c);
-        beams.emplace_back(n, BeamScore{kNegInf, f.p_nb});
+        beams.emplace_back(fresh_nodes[ranked[i].idx],
+                           BeamScore{kNegInf, fresh[ranked[i].idx].p_nb});
       }
     }
     // ctcdecode removes every candidate beyond the beam: dead childless
@@ -358,8 +429,10 @@ int ds_beam_decode(void* decoder, const float* probs, int t_dim, int c_dim,
       score += d->lm_score(kv.first, alpha, beta);
     final_ranked.emplace_back(kv.first, score);
   }
-  std::sort(final_ranked.begin(), final_ranked.end(),
-            [](const auto& a, const auto& b) { return a.second > b.second; });
+  // stable over beams order (itself total-desc-then-preorder), matching
+  // the python twin's stable final sort exactly on tied scores
+  std::stable_sort(final_ranked.begin(), final_ranked.end(),
+                   [](const auto& a, const auto& b) { return a.second > b.second; });
 
   int written = std::min<int>(n_paths, (int)final_ranked.size());
   for (int i = 0; i < written; ++i) {

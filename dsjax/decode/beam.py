@@ -247,10 +247,14 @@ class BeamCTCDecoder:
         beams: List[_TrieNode] = [root]
         for t in range(t_dim):
             row = log_probs[t]
-            # candidate pruning: top cutoff_top_n chars, cumulative cutoff_prob
-            order = np.argsort(row)[::-1]
+            # candidate pruning: top cutoff_top_n chars, cumulative
+            # cutoff_prob. Stable argsort (ties by index) + float64
+            # accumulation of the RAW probabilities: bit-identical candidate
+            # sets with the C++ twin, so tie-breaking stays deterministic
+            # across the two implementations.
+            order = np.argsort(-row, kind="stable")
             if self.cutoff_prob < 1.0:
-                cum = np.cumsum(np.exp(row[order]))
+                cum = np.cumsum(lp[t].astype(np.float64)[order])
                 n_keep = int(np.searchsorted(cum, self.cutoff_prob) + 1)
             else:
                 n_keep = c_dim

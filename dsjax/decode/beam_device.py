@@ -435,9 +435,9 @@ def _decode_device(log_probs, sizes, beam_width, blank, n_best,
         beta=beta, space=space, cutoff_top_n=cutoff_top_n,
         cutoff_prob=cutoff_prob)
     # ties resolve to the lower slot index, same as np.argsort(-scores)
-    _, order = jax.lax.top_k(totals, n_best)
+    top_totals, order = jax.lax.top_k(totals, n_best)
     rev, _ = _backtrack(backptr, emit, order.astype(jnp.int32))
-    return rev, (hists if want_hists else None)
+    return rev, (hists if want_hists else None), top_totals
 
 
 @functools.partial(jax.jit, static_argnames=("beam_width", "blank", "merge",
@@ -589,8 +589,11 @@ class DeviceBeamDecoder:
         return strings[order], new_state
 
     def decode(self, probs, sizes: Optional[Sequence[int]] = None,
-               n_best: Optional[int] = None
+               n_best: Optional[int] = None, with_scores: bool = False
                ) -> Tuple[List[List[str]], List[List[np.ndarray]]]:
+        """with_scores=True appends a third element — (B, n_best) total
+        log-scores per hypothesis (ctcdecode score semantics, incl. the
+        trailing-word LM bonus) — for tuning/parity checks."""
         # all beams by default (host BeamCTCDecoder contract: consumers
         # slice by lm.top_paths)
         n_best = self.beam_width if n_best is None else n_best
@@ -606,12 +609,12 @@ class DeviceBeamDecoder:
                          space=self.label_map.space_index)
         # scan + rank + backtrack in ONE device program; only the
         # (T, B, n_best) int16 char stream crosses to the host
-        rev_d, hists = _decode_device(lp, sizes_arr, self.beam_width,
-                                      self.blank_index,
-                                      n_best=min(n_best, self.beam_width),
-                                      want_hists=self.ctc_offsets,
-                                      cutoff_top_n=self.cutoff_top_n,
-                                      cutoff_prob=self.cutoff_prob, **lm_kw)
+        rev_d, hists, scores_d = _decode_device(
+            lp, sizes_arr, self.beam_width, self.blank_index,
+            n_best=min(n_best, self.beam_width),
+            want_hists=self.ctc_offsets,
+            cutoff_top_n=self.cutoff_top_n,
+            cutoff_prob=self.cutoff_prob, **lm_kw)
         rev_chars = np.asarray(rev_d)                    # (T, B, n_best)
         n_best = rev_chars.shape[2]
         b_dim = rev_chars.shape[1]
@@ -649,6 +652,8 @@ class DeviceBeamDecoder:
                     utt_o.append(pos.astype(np.int32))
             strings.append(utt_s)
             offsets.append(utt_o)
+        if with_scores:
+            return strings, offsets, np.asarray(scores_d)[:, :n_best]
         return strings, offsets
 
 
@@ -696,7 +701,10 @@ class _CtcOffsets:
         if self.cutoff_top_n >= c_dim and self.cutoff_prob >= 1.0:
             mask = np.ones((t_dim, c_dim), bool)
         else:
-            order = np.argsort(-lp, axis=1)
+            # stable: ties at equal log-probs (clipped tiny posteriors)
+            # resolve to the lower index, matching the scan's jnp.argsort
+            # and the host twin's candidate selection
+            order = np.argsort(-lp, axis=1, kind="stable")
             rank = np.argsort(order, axis=1)
             mask = rank < self.cutoff_top_n
             if self.cutoff_prob < 1.0:
@@ -714,6 +722,32 @@ class _CtcOffsets:
         m1, m2 = self.h1[:, i, :], self.h2[:, i, :]      # post-step (T, W)
         cand = self._cand_mask(i)
         tvalid = np.arange(t_dim) < size
+
+        # Exhaustive regime: the scan marks unfilled slots with the
+        # sentinel pair (-(slot+2), -(slot+2)). If EVERY step (within
+        # size) left dead slots, fewer live prefixes than W existed
+        # throughout, so the host's prune was keep-all: no node was ever
+        # removed, and -inf "zombie" prefixes (whose hashes the scan
+        # intentionally nukes) kept making attempts. Attempts are then a
+        # pure function of candidate masks and chain creation times —
+        # reconstruct exactly, with no hash lookups.
+        w = m1.shape[1]
+        sent = (np.arange(w) + 2) & 0xFFFFFFFF  # uint32 view of -(slot+2)
+        dead_any = ((m1 == (0x100000000 - sent)) &
+                    (m2 == (0x100000000 - sent))).any(axis=1)
+        if bool(dead_any[:size].all()) and size > 0:
+            lp = self.lp[i]
+            out = np.empty(len(chars), np.int32)
+            create_parent = -1                    # root exists from t=0
+            for j, c in enumerate(chars):
+                attempts = (cand[:, int(c)] & tvalid
+                            & (np.arange(t_dim) >= create_parent + 1))
+                if not attempts.any():            # defensive
+                    attempts[int(pos[j])] = True
+                col = np.where(attempts, lp[:, int(c)], -np.inf)
+                out[j] = int(np.argmax(col))
+                create_parent = int(np.nonzero(attempts)[0][0])
+            return out
         # prefix hashes: empty prefix = 1 (scan init), then the scan's
         # int32 rolling update mod 2^32
         hp1, hp2 = [1], [1]
