@@ -205,16 +205,26 @@ def timed_run(fn, seed) -> float:
 
 
 def main():
+    # Self-defending measurement (the tunnel adds run-to-run variance):
+    # N repetitions of the (short, long) timed pair, each yielding one
+    # throughput sample from the step-time delta; report the MEDIAN as the
+    # headline plus min/max/n so a wiggle between rounds is attributable
+    # at a glance. DSJAX_BENCH_REPS overrides N (>=3).
     n1, n2 = 2, 12
+    reps = max(3, int(os.environ.get("DSJAX_BENCH_REPS", "5")))
     f1, batch, mean_frac = build_program(n1)
     f2, _, _ = build_program(n2)
     # warm both compiles
     timed_run(f1, 0)
     timed_run(f2, 0)
-    t_short = min(timed_run(f1, i + 1) for i in range(2))
-    t_long = min(timed_run(f2, i + 1) for i in range(2))
-    step_time = max((t_long - t_short) / (n2 - n1), 1e-6)
-    utt_per_sec = batch / step_time
+    samples = []
+    for r in range(reps):
+        t_short = timed_run(f1, 2 * r + 1)
+        t_long = timed_run(f2, 2 * r + 2)
+        step_time = max((t_long - t_short) / (n2 - n1), 1e-6)
+        samples.append(batch / step_time)
+    samples.sort()
+    utt_per_sec = float(np.median(samples))
     flops_per_utt = model_train_flops_per_utt(int(SECONDS * 100), mean_frac)
     mfu = utt_per_sec * flops_per_utt / chip_peak_flops()
     baseline_a100_utt_s = 90.0  # see module docstring
@@ -228,6 +238,10 @@ def main():
         "vs_baseline": round(utt_per_sec / baseline_a100_utt_s, 3),
         "mfu": round(mfu, 4),
         "batch": BATCH,
+        "median": round(utt_per_sec, 2),
+        "min": round(samples[0], 2),
+        "max": round(samples[-1], 2),
+        "n": reps,
     }))
 
 

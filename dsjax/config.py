@@ -270,6 +270,8 @@ class ServerConfig(InferenceConfig):
     # length (seconds); 0 disables. Without it the first request at each
     # batch size pays a full XLA compile (tens of seconds on TPU).
     warmup_seconds: float = 10.0
+    # /stream sessions idle longer than this are garbage-collected
+    stream_session_ttl: float = 300.0
 
 
 # ---------------------------------------------------------------------------

@@ -186,12 +186,13 @@ class BatchWorker(threading.Thread):
         carry) are incremental, so arbitrarily long streams use CONSTANT
         session memory and O(chunk) work per call."""
         blank = getattr(self.decoder, "blank_index", 0)
+        ttl = getattr(self.cfg, "stream_session_ttl", 300.0)
         with self._sessions_lock:
             sess = self._sessions.setdefault(session_id, _StreamSession(blank))
-            # GC idle sessions
+            # GC idle sessions (ServerConfig.stream_session_ttl)
             now = time.time()
             for sid in [s for s, v in self._sessions.items()
-                        if now - v.last_used > 300 and s != session_id]:
+                        if now - v.last_used > ttl and s != session_id]:
                 del self._sessions[sid]
         with sess.lock:
             sess.last_used = time.time()

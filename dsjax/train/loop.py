@@ -54,6 +54,18 @@ class Trainer:
         if cfg.trainer.detect_anomaly:
             # reference parity: Trainer(detect_anomaly=...) passthrough
             jax.config.update("jax_debug_nans", True)
+        aug = cfg.data.augmentation
+        if aug.spec_augment and aug.spec_augment_device:
+            import warnings
+
+            # close the silent-narrowing trap: the device variant applies
+            # freq/time masks only (audio/augment.py spec_augment_device)
+            warnings.warn(
+                "spec_augment_device=true runs SpecAugment's frequency/time "
+                "masks inside the compiled step but SKIPS the sparse-image-"
+                "warp time warp (host-only). Set spec_augment_device=false "
+                "(with device_features=false) to keep the full augmentation.",
+                stacklevel=2)
         dtype = jnp.bfloat16 if cfg.trainer.precision == 16 else jnp.float32
         self.model = DeepSpeech2(num_classes=len(labels), spect_cfg=cfg.data.spect,
                                  model_cfg=cfg.model, dtype=dtype)

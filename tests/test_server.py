@@ -471,3 +471,28 @@ def test_stream_chunked_equals_one_shot_transcript():
         chunk = audio[k * len(audio) // 4:(k + 1) * len(audio) // 4]
         out = worker.stream_chunk("eq", chunk, final=(k == 3))
     assert out["transcription"] == one_shot[0][0]
+
+
+def test_stream_session_ttl_configurable():
+    """ServerConfig.stream_session_ttl controls idle-session eviction."""
+    cfg = ServerConfig()
+    cfg.stream_session_ttl = 0.05
+    model = DeepSpeech2(num_classes=len(DEFAULT_LABELS), spect_cfg=SpectConfig(),
+                        model_cfg=BiDirectionalConfig(hidden_size=16,
+                                                      hidden_layers=1))
+    x = jnp.zeros((1, 161, 32), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, jnp.array([32]),
+                           train=False)
+    bundle = ModelBundle(model, variables, list(DEFAULT_LABELS), SpectConfig())
+    worker = BatchWorker(bundle, GreedyDecoder(DEFAULT_LABELS), cfg)
+    audio = np.zeros(4000, np.float32)
+    worker.stream_chunk("stale", audio, final=False)
+    assert "stale" in worker._sessions
+    time.sleep(0.1)
+    # touching ANOTHER session evicts the idle one past its TTL
+    worker.stream_chunk("fresh", audio, final=False)
+    assert "stale" not in worker._sessions
+    assert "fresh" in worker._sessions
+    # and with the default 300s TTL nothing would have been evicted
+    cfg2 = ServerConfig()
+    assert cfg2.stream_session_ttl == 300.0
