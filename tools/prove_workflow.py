@@ -1,0 +1,347 @@
+#!/usr/bin/env python
+"""One-command proof of the full production workflow, as an OPERATED SYSTEM.
+
+Reference behavior being matched: training.py:13-47 (train entrypoint) +
+checkpoint.py:34-46 (ModelCheckpoint best/last) + README.md:154-189 (the
+TorchElastic recovery loop: a killed trainer relaunches and continues from
+its latest checkpoint). This script drives the REAL CLIs the way an
+operator would — separate OS processes, a real SIGKILL, a cold relaunch —
+not in-process unit-test shortcuts:
+
+  1. synthesize a learnable multi-hour on-disk corpus (per-character tone
+     code, so WER genuinely falls as the model trains)
+  2. phase A  — ``python train.py ...`` until a MID-EPOCH checkpoint of a
+     non-first epoch lands, then SIGKILL the process mid-step
+  3. phase B  — relaunch the identical command; it must print
+     "auto-resumed from step N" and run to completion, appending to the
+     same metrics.jsonl (monotone step continuity across the kill)
+  4. phase C  — ``python test.py`` on the held-out val manifest
+  5. phase D  — ``python transcribe.py`` on one val utterance
+  6. write artifacts: RUNLOG.md + summary.json + metrics.jsonl + trimmed
+     phase logs into --out (committed as the round's run evidence)
+
+Usage (real TPU, ~2.5h corpus):   python tools/prove_workflow.py
+Fast orchestration smoke (CPU):   python tools/prove_workflow.py \
+    --minutes 2 --platform cpu --hidden 48 --layers 1 --batch 8 --epochs 3
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import signal
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+WORDS = ("THE QUICK BROWN FOX JUMPS OVER LAZY DOG SPEECH MODEL TRAINING "
+         "AUDIO SIGNAL FRAME BATCH DEVICE KERNEL NORTH STAR PROOF RUN "
+         "WORK FLOW CHECK POINT RESUME EVAL FINAL").split()
+SR = 16000
+CHAR_SEC = 0.08          # one tone per character; space = silence
+
+
+def _char_freq(ch: str) -> float:
+    # distinct, spectrally resolvable tone per letter (50 Hz STFT bins)
+    return 260.0 + 55.0 * (ord(ch) - ord("A"))
+
+
+def synth_utterance(text: str, rng: np.random.Generator) -> np.ndarray:
+    """Audio whose spectrogram IS the transcript: a per-character tone
+    code at ~12.5 chars/s (LibriSpeech-like rate), light noise."""
+    n_char = int(SR * CHAR_SEC)
+    segs = []
+    for ch in text:
+        if ch == " ":
+            segs.append(np.zeros(n_char, np.float32))
+        else:
+            t = np.arange(n_char) / SR
+            segs.append((0.25 * np.sin(2 * np.pi * _char_freq(ch) * t)
+                         ).astype(np.float32))
+    y = np.concatenate(segs)
+    y += (0.02 * rng.standard_normal(len(y))).astype(np.float32)
+    return y
+
+
+def make_corpus(root: str, minutes: float, seed: int = 0):
+    """LibriSpeech-shaped on-disk dataset; ~95/5 train/val split.
+    Returns (train_manifest, val_manifest, total_hours, n_utts)."""
+    from dsjax.audio.io import save_wav
+
+    done = os.path.join(root, ".done")
+    key = f"{minutes}:{seed}"
+    if os.path.exists(done) and open(done).read() == key:
+        man = lambda s: os.path.join(root, f"{s}_manifest.json")
+        meta = json.load(open(os.path.join(root, "meta.json")))
+        return man("train"), man("val"), meta["hours"], meta["n_utts"]
+    os.makedirs(os.path.join(root, "wav"), exist_ok=True)
+    os.makedirs(os.path.join(root, "txt"), exist_ok=True)
+    rng = np.random.default_rng(seed)
+    total = 0.0
+    entries = []
+    i = 0
+    while total < minutes * 60.0:
+        n_words = int(rng.integers(6, 14))
+        text = " ".join(rng.choice(WORDS) for _ in range(n_words))
+        y = synth_utterance(text, rng)
+        save_wav(os.path.join(root, "wav", f"u{i:05d}.wav"), y, SR)
+        with open(os.path.join(root, "txt", f"u{i:05d}.txt"), "w") as f:
+            f.write(text)
+        entries.append((len(y) / SR, {"wav_path": f"wav/u{i:05d}.wav",
+                                      "transcript_path": f"txt/u{i:05d}.txt"}))
+        total += len(y) / SR
+        i += 1
+    entries.sort(key=lambda e: e[0])    # duration-sorted (reference manifests)
+    n_val = max(8, len(entries) // 20)
+    stride = max(1, len(entries) // n_val)
+    val_idx = set(range(0, len(entries), stride))   # spread across durations
+    val = [e for i, e in enumerate(entries) if i in val_idx][:n_val]
+    val_set = {id(e) for e in val}
+    train = [e for e in entries if id(e) not in val_set]
+    for split, es in (("train", train), ("val", val)):
+        with open(os.path.join(root, f"{split}_manifest.json"), "w") as f:
+            json.dump({"root_path": root, "samples": [e[1] for e in es]}, f)
+    json.dump({"hours": total / 3600, "n_utts": len(entries)},
+              open(os.path.join(root, "meta.json"), "w"))
+    with open(done, "w") as f:
+        f.write(key)
+    return (os.path.join(root, "train_manifest.json"),
+            os.path.join(root, "val_manifest.json"), total / 3600, len(entries))
+
+
+def read_metrics(path: str):
+    rows = []
+    if os.path.exists(path):
+        with open(path) as f:
+            for line in f:
+                try:
+                    rows.append(json.loads(line))
+                except json.JSONDecodeError:
+                    pass    # torn tail line mid-kill
+    return rows
+
+
+def latest_ckpt_step(ckpt_dir: str):
+    last = os.path.join(ckpt_dir, "last")
+    if not os.path.isdir(last):
+        return None
+    steps = [int(d) for d in os.listdir(last) if d.isdigit()]
+    return max(steps) if steps else None
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="runs/r04_tpu_e2e")
+    ap.add_argument("--work", default="/tmp/dsjax_prove_workflow")
+    ap.add_argument("--minutes", type=float, default=150.0)
+    ap.add_argument("--platform", default="",
+                    help="'' = default (TPU); 'cpu' for orchestration smoke")
+    ap.add_argument("--hidden", type=int, default=512)
+    ap.add_argument("--layers", type=int, default=3)
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--epochs", type=int, default=4)
+    ap.add_argument("--every-n-steps", type=int, default=15,
+                    help="mid-epoch checkpoint interval")
+    ap.add_argument("--keep-work", action="store_true")
+    args = ap.parse_args()
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = os.path.join(repo, args.out)
+    os.makedirs(out, exist_ok=True)
+    work = args.work
+    ckpt_dir = os.path.join(work, "ckpt")
+    log_dir = os.path.join(work, "logs")
+    metrics_path = os.path.join(log_dir, "metrics.jsonl")
+    if os.path.isdir(ckpt_dir) or os.path.isdir(log_dir):
+        import shutil
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
+        shutil.rmtree(log_dir, ignore_errors=True)
+
+    print(f"[0] synthesizing corpus ({args.minutes:.0f} min of audio)...",
+          flush=True)
+    t0 = time.time()
+    train_man, val_man, hours, n_utts = make_corpus(
+        os.path.join(work, "data"), args.minutes)
+    print(f"    {hours:.2f} h, {n_utts} utterances ({time.time() - t0:.0f}s)",
+          flush=True)
+
+    train_cmd = [sys.executable, "train.py",
+                 f"data.train_path={train_man}", f"data.val_path={val_man}",
+                 f"data.batch_size={args.batch}",
+                 f"model.hidden_size={args.hidden}",
+                 f"model.hidden_layers={args.layers}",
+                 f"trainer.max_epochs={args.epochs}",
+                 f"checkpoint.dirpath={ckpt_dir}",
+                 f"checkpoint.every_n_steps={args.every_n_steps}",
+                 f"trainer.log_dir={log_dir}",
+                 "trainer.log_every_n_steps=5",
+                 "trainer.val_check_interval=0.5",
+                 "optim.learning_rate=3e-4",
+                 # the reference recovery loop runs with auto-resume on
+                 # (kubernetes/train.yaml:38 load_auto_checkpoint=true)
+                 "load_auto_checkpoint=true",
+                 ]
+    if args.platform:
+        train_cmd += [f"trainer.platform={args.platform}",
+                      "trainer.precision=32"]
+    env = dict(os.environ,
+               JAX_COMPILATION_CACHE_DIR=os.path.join(work, "jax_cache"))
+
+    # ---- phase A: train until a mid-epoch ckpt of epoch>=1, then SIGKILL --
+    print(f"[A] launching: {' '.join(train_cmd)}", flush=True)
+    log_a = open(os.path.join(out, "phaseA.log"), "w")
+    pa = subprocess.Popen(train_cmd, cwd=repo, stdout=log_a,
+                          stderr=subprocess.STDOUT, env=env)
+    kill_info = None
+    deadline = time.time() + 7200
+    while time.time() < deadline:
+        if pa.poll() is not None:
+            raise SystemExit(
+                f"phase A exited rc={pa.returncode} before the kill — "
+                f"see {out}/phaseA.log")
+        rows = read_metrics(metrics_path)
+        max_epoch = max((int(r.get("epoch", 0)) for r in rows), default=0)
+        s = latest_ckpt_step(ckpt_dir)
+        # kill on a save that is strictly INSIDE epoch 1: the last epoch-0
+        # row is logged at state.step == steps_per_epoch, so a mid-epoch-1
+        # every_n_steps save satisfies spe < s < 2*spe (the epoch-1
+        # boundary save would land exactly at 2*spe)
+        e0 = [r["step"] for r in rows if int(r.get("epoch", -1)) == 0]
+        if max_epoch == 1 and e0 and s is not None:
+            spe = max(e0)
+            if spe < s < 2 * spe:
+                time.sleep(3)       # let the save finish + a few more steps
+                kill_info = {"ckpt_step": latest_ckpt_step(ckpt_dir),
+                             "metrics_rows": len(read_metrics(metrics_path)),
+                             "wall": time.time()}
+                pa.send_signal(signal.SIGKILL)
+                pa.wait()
+                break
+        time.sleep(2)
+    log_a.close()
+    if kill_info is None:
+        raise SystemExit("phase A never reached a mid-epoch checkpoint "
+                         "of epoch>=1 within the deadline")
+    rows_at_kill = read_metrics(metrics_path)
+    step_at_kill = max(r["step"] for r in rows_at_kill)
+    print(f"[A] SIGKILLed trainer mid-epoch at metrics step {step_at_kill} "
+          f"(latest ckpt step {kill_info['ckpt_step']})", flush=True)
+
+    # ---- phase B: relaunch identical command; must auto-resume ----------
+    print("[B] relaunching identical command (auto-resume)...", flush=True)
+    log_b_path = os.path.join(out, "phaseB.log")
+    with open(log_b_path, "w") as log_b:
+        pb = subprocess.run(train_cmd, cwd=repo, stdout=log_b,
+                            stderr=subprocess.STDOUT, env=env, timeout=7200)
+    log_b_text = open(log_b_path).read()
+    assert pb.returncode == 0, f"phase B failed rc={pb.returncode}"
+    resume_lines = [l for l in log_b_text.splitlines() if "auto-resumed" in l]
+    assert resume_lines, "phase B log has no 'auto-resumed from step' line"
+    resume_step = int(resume_lines[0].rsplit("step", 1)[1].strip())
+    assert resume_step == kill_info["ckpt_step"], (
+        f"resumed from step {resume_step}, expected the mid-epoch save "
+        f"{kill_info['ckpt_step']}")
+    rows = read_metrics(metrics_path)
+    post = [r["step"] for r in rows[len(rows_at_kill):] if "loss" in r]
+    assert post and min(post) >= resume_step, (
+        "metrics steps restarted instead of continuing past the resume point")
+    print(f"[B] {resume_lines[0].strip()} -> completed epoch "
+          f"{int(rows[-1].get('epoch', -1))}", flush=True)
+
+    # ---- phase C: evaluate the produced checkpoint ----------------------
+    print("[C] evaluating best checkpoint on the val manifest...", flush=True)
+    eval_cmd = [sys.executable, "test.py", f"model.model_path={ckpt_dir}",
+                f"test_path={val_man}", "verbose=false"]
+    pc = subprocess.run(eval_cmd, cwd=repo, capture_output=True, text=True,
+                        env=env, timeout=3600)
+    open(os.path.join(out, "phaseC_eval.log"), "w").write(
+        pc.stdout + pc.stderr)
+    assert pc.returncode == 0, f"eval failed:\n{pc.stdout}\n{pc.stderr}"
+    summary_line = [l for l in pc.stdout.splitlines() if "Test Summary" in l][0]
+    final_wer = float(summary_line.split("WER")[1].split()[0])
+    final_cer = float(summary_line.split("CER")[1].split()[0])
+    print(f"[C] {summary_line.strip()}", flush=True)
+
+    # ---- phase D: transcribe one held-out utterance ---------------------
+    val = json.load(open(val_man))
+    wav0 = os.path.join(val["root_path"], val["samples"][0]["wav_path"])
+    ref0 = open(os.path.join(
+        val["root_path"], val["samples"][0]["transcript_path"])).read().strip()
+    print(f"[D] transcribing {os.path.basename(wav0)}...", flush=True)
+    pd = subprocess.run([sys.executable, "transcribe.py",
+                         f"model.model_path={ckpt_dir}",
+                         f"audio_path={wav0}"],
+                        cwd=repo, capture_output=True, text=True, env=env,
+                        timeout=1800)
+    assert pd.returncode == 0, f"transcribe failed:\n{pd.stdout}\n{pd.stderr}"
+    hyp0 = json.loads(pd.stdout.splitlines()[-1])["output"][0]["transcription"]
+    print(f"[D] ref: {ref0!r}\n    hyp: {hyp0!r}", flush=True)
+
+    # ---- artifacts ------------------------------------------------------
+    wer_rows = [r for r in rows if "wer" in r]
+    first_wer = wer_rows[0]["wer"] if wer_rows else float("nan")
+    import shutil
+    shutil.copy(metrics_path, os.path.join(out, "metrics.jsonl"))
+    summary = {
+        "corpus_hours": round(hours, 2), "n_utts": n_utts,
+        "model": {"hidden_size": args.hidden, "hidden_layers": args.layers},
+        "batch_size": args.batch, "max_epochs": args.epochs,
+        "platform": args.platform or "tpu(default)",
+        "kill": {"metrics_step": step_at_kill,
+                 "resumed_ckpt_step": kill_info["ckpt_step"]},
+        "resume_line": resume_lines[0].strip(),
+        "wer_trajectory": [{"step": r["step"], "epoch": int(r.get("epoch", -1)),
+                            "wer": r["wer"], "cer": r["cer"]}
+                           for r in wer_rows],
+        "first_val_wer": first_wer, "final_eval_wer": final_wer,
+        "final_eval_cer": final_cer,
+        "transcribe_sample": {"ref": ref0, "hyp": hyp0},
+    }
+    with open(os.path.join(out, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=1)
+    traj = "\n".join(f"| {r['step']} | {r['epoch']} | {r['wer']:.2f} | "
+                     f"{r['cer']:.2f} |" for r in wer_rows)
+    with open(os.path.join(out, "RUNLOG.md"), "w") as f:
+        f.write(f"""# Production-workflow proof run
+
+One command: `python tools/prove_workflow.py` (this directory is its
+committed output). Operated-system proof of the reference recovery loop
+(reference README.md:154-189, training.py:13-47, checkpoint.py:34-46):
+real `train.py` process, real SIGKILL mid-epoch, cold relaunch that
+auto-resumes from the mid-epoch checkpoint (sampler position included),
+then `test.py` + `transcribe.py` on the result.
+
+- corpus: {hours:.2f} h synthetic tone-code speech, {n_utts} utts
+  (95/5 train/val), platform: {summary['platform']}
+- model: {args.hidden}x{args.layers} BiLSTM, batch {args.batch}, \
+{args.epochs} epochs
+- phase A killed (SIGKILL) at metrics step {step_at_kill}; latest
+  mid-epoch checkpoint step {kill_info['ckpt_step']}
+- phase B: `{resume_lines[0].strip()}` — metrics.jsonl continues
+  monotonically across the kill (see metrics.jsonl)
+- phase C eval: WER {final_wer:.3f} / CER {final_cer:.3f} (first val
+  WER during training: {first_wer:.2f})
+- phase D transcribe: ref {ref0!r} -> hyp {hyp0!r}
+
+## WER trajectory (from metrics.jsonl)
+
+| step | epoch | WER | CER |
+|---|---|---|---|
+{traj}
+""")
+    print(f"\nartifacts -> {out}/ (RUNLOG.md, summary.json, metrics.jsonl, "
+          f"phase logs)", flush=True)
+    if not args.keep_work and not os.environ.get("DSJAX_KEEP_WORK"):
+        pass    # corpus cache is reusable; leave it
+    assert final_wer < first_wer, (
+        f"WER did not improve: first {first_wer}, final {final_wer}")
+    print("WORKFLOW PROOF OK", flush=True)
+
+
+if __name__ == "__main__":
+    main()
