@@ -153,7 +153,9 @@ double ArpaLM::score_word(const std::vector<std::string>& context,
 }
 
 // ---------------------------------------------------------------------------
-// BinaryLM (mmap'd DSLMBIN1)
+// BinaryLM (mmap'd DSLMBIN1 or DSLMBIN2 — v2 appends the device-build
+// sections, which are validated here but only consumed by the Python
+// device-LM loader, dsjax/decode/lm.py:read_binary_lm_v2)
 // ---------------------------------------------------------------------------
 
 BinaryLM::BinaryLM(const std::string& path) {
