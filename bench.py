@@ -218,11 +218,19 @@ def main():
     timed_run(f1, 0)
     timed_run(f2, 0)
     samples = []
-    for r in range(reps):
-        t_short = timed_run(f1, 2 * r + 1)
-        t_long = timed_run(f2, 2 * r + 2)
-        step_time = max((t_long - t_short) / (n2 - n1), 1e-6)
+    seed, attempts = 1, 0
+    while len(samples) < reps and attempts < 3 * reps:
+        attempts += 1
+        t_short = timed_run(f1, seed)
+        t_long = timed_run(f2, seed + 1)
+        seed += 2
+        step_time = (t_long - t_short) / (n2 - n1)
+        if step_time <= 0:
+            # tunnel jitter inverted the pair; the rep is invalid, not a
+            # measurement of an (impossibly) instantaneous step — retry.
+            continue
         samples.append(batch / step_time)
+    assert samples, "all benchmark repetitions were jitter-inverted"
     samples.sort()
     utt_per_sec = float(np.median(samples))
     flops_per_utt = model_train_flops_per_utt(int(SECONDS * 100), mean_frac)
@@ -231,17 +239,18 @@ def main():
     tag = "_ragged" if RAGGED else ""
     if RAGGED and RAGGED_SPLIT > 1:
         tag += f"_split{RAGGED_SPLIT}"
+    median = round(utt_per_sec, 2)  # headline "value" IS the median
     print(json.dumps({
         "metric": f"train_throughput_ds2_5x1024_b{BATCH}_t{int(SECONDS * 100)}{tag}",
-        "value": round(utt_per_sec, 2),
+        "value": median,
         "unit": "utterances/sec/chip",
         "vs_baseline": round(utt_per_sec / baseline_a100_utt_s, 3),
         "mfu": round(mfu, 4),
         "batch": BATCH,
-        "median": round(utt_per_sec, 2),
+        "median": median,
         "min": round(samples[0], 2),
         "max": round(samples[-1], 2),
-        "n": reps,
+        "n": len(samples),
     }))
 
 

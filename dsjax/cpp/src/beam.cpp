@@ -288,10 +288,15 @@ int ds_beam_decode(void* decoder, const float* probs, int t_dim, int c_dim,
 
   for (int t = 0; t < t_dim; ++t) {
     const float* row = probs + (size_t)t * c_dim;
-    // candidate pruning (ties by index, python-twin stable-argsort parity)
+    // candidate pruning (ties by index, python-twin stable-argsort parity).
+    // Compare the 1e-30-CLIPPED values, exactly what the python twin
+    // argsorts (log(max(lp,1e-30)) — log is monotone so clipping suffices):
+    // sub-clip denormals tie and fall back to index order in both.
     for (int c = 0; c < c_dim; ++c) order[c] = c;
     std::sort(order.begin(), order.end(), [&](int a, int b) {
-      return row[a] != row[b] ? row[a] > row[b] : a < b;
+      float ca = row[a] > 1e-30f ? row[a] : 1e-30f;
+      float cb = row[b] > 1e-30f ? row[b] : 1e-30f;
+      return ca != cb ? ca > cb : a < b;
     });
     int n_keep = c_dim;
     if (cutoff_prob < 1.0) {

@@ -248,11 +248,14 @@ class BeamCTCDecoder:
         for t in range(t_dim):
             row = log_probs[t]
             # candidate pruning: top cutoff_top_n chars, cumulative
-            # cutoff_prob. Stable argsort (ties by index) + float64
-            # accumulation of the RAW probabilities: bit-identical candidate
-            # sets with the C++ twin, so tie-breaking stays deterministic
+            # cutoff_prob. The sort key is the 1e-30-CLIPPED raw
+            # probability (not its float32 log, whose coarser quantization
+            # manufactures ties the C++ twin would order by value), stable
+            # argsort (ties by index), float64 accumulation of the raw
+            # probabilities: bit-identical candidate sets and ordering
+            # with the C++ twin, so tie-breaking stays deterministic
             # across the two implementations.
-            order = np.argsort(-row, kind="stable")
+            order = np.argsort(-np.maximum(lp[t], 1e-30), kind="stable")
             if self.cutoff_prob < 1.0:
                 cum = np.cumsum(lp[t].astype(np.float64)[order])
                 n_keep = int(np.searchsorted(cum, self.cutoff_prob) + 1)

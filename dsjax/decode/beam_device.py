@@ -678,7 +678,12 @@ class _CtcOffsets:
       offset_j   = argmax_{t in attempts_j, t >= R_j} logp[t, c_j]
 
     Beam membership is tested by the same int32 rolling-hash pair the scan
-    merges on (collision odds ~2^-64)."""
+    merges on (collision odds ~2^-64). Exactness regimes: when _keep_all()
+    proves the host trie never outgrew the width (so nothing was ever
+    pruned), reconstruction is exact with no hash lookups; otherwise the
+    hash path above is best-effort — attempts made by -inf "zombie"
+    parents are invisible to the hash record (the scan nukes their
+    hashes), a deliberate trade for streaming O(W) state."""
 
     def __init__(self, lp, sizes, h1_hist, h2_hist, blank,
                  cutoff_top_n, cutoff_prob):
@@ -691,6 +696,47 @@ class _CtcOffsets:
         self.cutoff_top_n = cutoff_top_n
         self.cutoff_prob = cutoff_prob
         self._cand = {}
+        self._keepall = {}
+
+    def _keep_all(self, i):
+        """True iff a keep-all host run is self-consistent for utterance i.
+
+        The host twin's width-prune counts EVERY live trie node — root and
+        -inf "zombie" extension attempts included — not just finite-mass
+        prefixes, so "the device had spare slots at every step" does NOT
+        imply the host never removed a node. Replay the host's node
+        creation under never-prune semantics (every live node attempts
+        every non-blank candidate char each step) and confirm the node
+        count never exceeds the beam width within `size` steps: then the
+        host's prune really was keep-all, nothing was ever removed, and
+        the exhaustive offset reconstruction below is exact. Cheap by
+        construction — the count either stalls tiny (few candidates) or
+        blows past W within a couple of steps (early abort)."""
+        if i in self._keepall:
+            return self._keepall[i]
+        w = self.h1.shape[2]
+        cand = self._cand_mask(i)
+        size = int(self.sizes[i])
+        children = [{}]          # node id -> {char: child id}; root = 0
+        ok = True
+        for t in range(size):
+            cs = [int(c) for c in np.nonzero(cand[t])[0]
+                  if int(c) != self.blank]
+            for p in range(len(children)):   # nodes existing before step t
+                kids = children[p]
+                for c in cs:
+                    if c not in kids:
+                        kids[c] = len(children)
+                        children.append({})
+                        if len(children) > w:
+                            ok = False
+                            break
+                if not ok:
+                    break
+            if not ok:
+                break
+        self._keepall[i] = ok
+        return ok
 
     def _cand_mask(self, i):
         """(T, C) candidate mask replicating the scan's pruning."""
@@ -724,18 +770,23 @@ class _CtcOffsets:
         tvalid = np.arange(t_dim) < size
 
         # Exhaustive regime: the scan marks unfilled slots with the
-        # sentinel pair (-(slot+2), -(slot+2)). If EVERY step (within
-        # size) left dead slots, fewer live prefixes than W existed
-        # throughout, so the host's prune was keep-all: no node was ever
-        # removed, and -inf "zombie" prefixes (whose hashes the scan
-        # intentionally nukes) kept making attempts. Attempts are then a
-        # pure function of candidate masks and chain creation times —
-        # reconstruct exactly, with no hash lookups.
+        # sentinel pair (-(slot+2), -(slot+2)). Dead slots at every step
+        # mean fewer FINITE prefixes than W existed throughout — but the
+        # host's prune also counts -inf "zombie" trie nodes (whose hashes
+        # the scan intentionally nukes), so spare device slots alone do
+        # not prove the host never removed a node. _keep_all() replays
+        # the host's node creation and confirms the trie never outgrew W:
+        # only then was the host's prune keep-all, nothing was ever
+        # removed, and attempts are a pure function of candidate masks
+        # and chain creation times — reconstruct exactly, with no hash
+        # lookups. (If the trie DID outgrow W, fall through to the
+        # hash-history path below, which is best-effort in that regime:
+        # zombie-parent attempts are invisible to the hash record.)
         w = m1.shape[1]
         sent = (np.arange(w) + 2) & 0xFFFFFFFF  # uint32 view of -(slot+2)
         dead_any = ((m1 == (0x100000000 - sent)) &
                     (m2 == (0x100000000 - sent))).any(axis=1)
-        if bool(dead_any[:size].all()) and size > 0:
+        if size > 0 and bool(dead_any[:size].all()) and self._keep_all(i):
             lp = self.lp[i]
             out = np.empty(len(chars), np.int32)
             create_parent = -1                    # root exists from t=0

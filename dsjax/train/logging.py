@@ -59,6 +59,10 @@ def _masked_crc(data: bytes) -> int:
 
 
 def _varint(n: int) -> bytes:
+    if n < 0:
+        # proto varints encode negative int64 as 10-byte two's complement;
+        # without the mask `n >>= 7` never reaches 0 and this loops forever.
+        n &= (1 << 64) - 1
     out = bytearray()
     while True:
         b = n & 0x7F

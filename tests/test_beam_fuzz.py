@@ -226,3 +226,57 @@ def test_fuzz_device_n_best_exceeds_width():
         assert len(d_strings[i]) == 128  # clamped to beam_width
         assert len(d_offsets[i]) == 128
         assert d_strings[i][0] == h_strings[i][0]
+
+
+def test_keep_all_gate():
+    """_keep_all replays the host twin's trie growth (zombie nodes
+    included) under never-prune semantics: a 1-non-blank-candidate chain
+    stays at T+1 nodes (keep-all), a branching alphabet blows past a small
+    width within a couple of steps (gate must refuse)."""
+    pytest.importorskip("jax")
+    from dsjax.decode.beam_device import _CtcOffsets
+
+    t_dim, w = 6, 16
+
+    def offs(c_dim, cutoff_top_n, width):
+        lp = np.log(np.full((1, t_dim, c_dim), 1.0 / c_dim, np.float32))
+        h = np.zeros((t_dim, 1, width), np.int32)
+        return _CtcOffsets(lp, np.array([t_dim], np.int32), h, h,
+                           blank=0, cutoff_top_n=cutoff_top_n,
+                           cutoff_prob=1.0)
+
+    # chain regime: one non-blank candidate -> T+1 = 7 nodes <= 16
+    assert offs(c_dim=2, cutoff_top_n=10 ** 9, width=w)._keep_all(0)
+    # branching: 3 non-blank candidates -> 1+3+12+... > 4 by step 2
+    assert not offs(c_dim=4, cutoff_top_n=10 ** 9, width=4)._keep_all(0)
+    # same branching alphabet, exhaustive width: the trie tops out at
+    # sum_{k<=6} 3^k = 1093 nodes, within a 2048 width
+    assert offs(c_dim=4, cutoff_top_n=10 ** 9, width=2048)._keep_all(0)
+    # cutoff_top_n=2 with blank among candidates -> at most one non-blank
+    # extension char per step: chain regime even for a big alphabet
+    assert offs(c_dim=29, cutoff_top_n=2, width=w)._keep_all(0)
+
+
+def test_fuzz_device_exhaustive_chain_regime():
+    """Chain regime (1 non-blank candidate per step, trie <= T+1 nodes):
+    the keep-all gate holds, the exhaustive no-hash reconstruction fires,
+    and device offsets must equal the host twin EXACTLY, across random
+    posteriors and sizes."""
+    pytest.importorskip("jax")
+    from dsjax.decode.beam_device import DeviceBeamDecoder
+
+    labels = ["_", "A"]
+    rng = np.random.default_rng(77)
+    t_dim, w, n_cases = 6, 16, 60
+    host = BeamCTCDecoder(labels, beam_width=w)
+    dev = DeviceBeamDecoder(labels, beam_width=w, ctc_offsets=True)
+    probs = np.stack([_adversarial_probs(rng, t_dim, 2)
+                      for _ in range(n_cases)])
+    sizes = rng.integers(1, t_dim + 1, size=n_cases).astype(np.int32)
+    d_strings, d_offsets = dev.decode(probs, sizes=sizes, n_best=1)
+    h_strings, h_offsets = host.decode(probs, sizes=sizes)
+    for i in range(n_cases):
+        assert d_strings[i][0] == h_strings[i][0], f"case {i}"
+        np.testing.assert_array_equal(np.asarray(d_offsets[i][0]),
+                                      np.asarray(h_offsets[i][0]),
+                                      err_msg=f"case {i} size={sizes[i]}")

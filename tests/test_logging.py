@@ -53,6 +53,19 @@ def test_tfevents_framing_and_crc(tmp_path):
     assert b"loss" in records[1] and b"wer" in records[2]
 
 
+def test_tfevents_negative_step(tmp_path):
+    """Negative steps must encode as 10-byte two's-complement varints
+    (proto int64), not hang the writer (regression: unmasked n >>= 7
+    never terminates for n < 0)."""
+    from dsjax.train.logging import _varint
+
+    assert _varint(-1) == b"\xff" * 9 + b"\x01"
+    w = TFEventWriter(str(tmp_path))
+    w.scalar("loss", 1.0, step=-3)   # must return, not spin
+    w.close()
+    assert len(_read_tfrecords(w.path)) == 2
+
+
 def test_tfevents_tensorboard_readback(tmp_path):
     """The real TensorBoard parser must read our hand-encoded protos."""
     try:

@@ -147,7 +147,6 @@ def main():
     ap.add_argument("--epochs", type=int, default=4)
     ap.add_argument("--every-n-steps", type=int, default=15,
                     help="mid-epoch checkpoint interval")
-    ap.add_argument("--keep-work", action="store_true")
     args = ap.parse_args()
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -225,6 +224,9 @@ def main():
         time.sleep(2)
     log_a.close()
     if kill_info is None:
+        if pa.poll() is None:   # deadline expired — don't leak the trainer
+            pa.send_signal(signal.SIGKILL)
+            pa.wait()
         raise SystemExit("phase A never reached a mid-epoch checkpoint "
                          "of epoch>=1 within the deadline")
     rows_at_kill = read_metrics(metrics_path)
@@ -336,10 +338,13 @@ then `test.py` + `transcribe.py` on the result.
 """)
     print(f"\nartifacts -> {out}/ (RUNLOG.md, summary.json, metrics.jsonl, "
           f"phase logs)", flush=True)
-    if not args.keep_work and not os.environ.get("DSJAX_KEEP_WORK"):
-        pass    # corpus cache is reusable; leave it
-    assert final_wer < first_wer, (
-        f"WER did not improve: first {first_wer}, final {final_wer}")
+    # Work dir (corpus cache + checkpoints) is intentionally left in place:
+    # the corpus is reusable across runs and the checkpoints are evidence.
+    # Pass criterion: the model must end converged (a trivially-learnable
+    # corpus can hit WER 0 before the FIRST validation, so strict
+    # improvement is not always observable — see runs/r04_tpu_e2e).
+    assert final_wer <= min(first_wer, 0.05), (
+        f"WER did not converge: first {first_wer}, final {final_wer}")
     print("WORKFLOW PROOF OK", flush=True)
 
 
