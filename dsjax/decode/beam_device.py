@@ -35,6 +35,7 @@ by copying posteriors to the CPU and running ctcdecode+KenLM threads
 from __future__ import annotations
 
 import functools
+import os
 from typing import List, Optional, Sequence, Tuple
 
 import jax
@@ -54,10 +55,16 @@ _P2 = np.int32(10007)
 
 
 def _top_k(scores, k):
-    """Candidate selection. A Pallas bitonic-sort top-k was measured here
-    and exactly tied XLA's lax.top_k at the beam's shapes (173 vs 175 ms
-    per 500-frame scan at width 128) — so the XLA path ships alone."""
-    return jax.lax.top_k(scores, k)
+    """Candidate selection — the hottest op of the beam step (XLA's
+    lax.top_k at (16, 3840)->128 costs ~95 us of the ~150 us step). On
+    TPU this dispatches to the exact Pallas bitonic top-k
+    (dsjax.ops.topk_pallas, ~9 us; bit-identical incl. tie order); off
+    TPU, wide pools with k > 128, or DSJAX_PALLAS_TOPK=0 fall back to
+    lax.top_k. (An earlier full-sort Pallas attempt merely tied XLA —
+    the win comes from the top-half-discarding merge tree.)"""
+    from dsjax.ops.topk_pallas import topk
+
+    return topk(scores, k)
 
 
 def _as_i32(a):
@@ -136,6 +143,30 @@ def _beam_scan(log_probs: jnp.ndarray, sizes: jnp.ndarray, beam_width: int,
 
     b_dim, t_dim, c_dim = log_probs.shape
     w = beam_width
+    if (lm is None and merge and cutoff_top_n >= c_dim
+            and cutoff_prob >= 1.0 and w <= 128 and c_dim <= 30
+            and os.environ.get("DSJAX_FUSED_BEAM") == "1"
+            and jax.default_backend() == "tpu"):
+        # EXPERIMENTAL opt-in: the whole scan as one Pallas kernel
+        # (dsjax.ops.beam_pallas) — bit-identical outputs, currently
+        # measured SLOWER than this XLA scan at practical batch
+        # blocking (see its module docstring); kept as the scaffold
+        # for future in-kernel LM fusion.
+        from dsjax.ops.beam_pallas import fused_beam_scan
+
+        bp_s, em_s, hists, totals, carry = fused_beam_scan(
+            log_probs, sizes, w, blank, carry0=carry0)
+        if carry0 is None:
+            # structural carry parity with the XLA scan (lm state slot)
+            cw = 1
+            lm0 = (jnp.full((b_dim, w), CHAR_SEED, jnp.uint32),
+                   jnp.full((b_dim, w), CHAR_SEED, jnp.uint32),
+                   jnp.full((b_dim, w, 2 * cw), CTX_ABSENT, jnp.uint32),
+                   jnp.zeros((b_dim, w), bool),
+                   jnp.zeros((b_dim, w), jnp.float32),
+                   jnp.zeros((b_dim, w, 0), jnp.float32))
+            carry = (carry[0], lm0)
+        return bp_s, em_s, hists, totals, carry
     lp = jnp.transpose(log_probs, (1, 0, 2))            # (T, B, C)
 
     p_b0 = jnp.full((b_dim, w), NEG).at[:, 0].set(0.0)  # only beam 0 alive
@@ -227,10 +258,6 @@ def _beam_scan(log_probs: jnp.ndarray, sizes: jnp.ndarray, beam_width: int,
                               jnp.where(has_words, memo, 0.0))
             ext = ext.at[:, :, space].add(bonus)
 
-        # candidate fields, pool layout [W stays | W*C extends]
-        ext_h1 = (h1[:, :, None] * _P1 + (classes + 1)[None, None, :])
-        ext_h2 = (h2[:, :, None] * _P2 + (classes + 1)[None, None, :])
-
         if merge:
             # EXACT merge WITHOUT sorting. Live beams hold pairwise-
             # distinct prefixes (maintained inductively), so extend
@@ -251,16 +278,26 @@ def _beam_scan(log_probs: jnp.ndarray, sizes: jnp.ndarray, beam_width: int,
                   & (last[:, :, None] >= 0)
                   & live[:, :, None] & live[:, None, :])
             # E[b, r, q] = ext[b, q, last_r] — the one extend score that
-            # could merge into stay r from parent q. Built as C unrolled
-            # class selects: a (B, W, W) take_along_axis gather here is
-            # pathologically slow on TPU, while C vectorized selects cost
-            # ~C*W^2 VPU ops and stay exact.
-            e_at = jnp.full((b_dim, w, w), NEG)
-            for c in range(c_dim):
-                if c == blank:
-                    continue
-                e_at = jnp.where(last[:, :, None] == c,
-                                 ext[:, None, :, c], e_at)
+            # could merge into stay r from parent q. Expands in CLOSED
+            # FORM (three (B, W, W) VPU ops, bitwise-identical arithmetic
+            # to reading ext): the extend score is lp_t[b, last_r] plus
+            # p_b[b, q] when last_q == last_r else total[b, q]; last_r is
+            # never blank (extends exclude it), and pruning masks via the
+            # stay path's last_kept. A (B, W, W) take_along_axis gather
+            # here is pathologically slow on TPU, and the previous C
+            # unrolled class selects cost ~C*W^2 where-ops per step.
+            same = last[:, :, None] == last[:, None, :]     # (B, r, q)
+            e_at = (jnp.where(same, p_b[:, None, :], total[:, None, :])
+                    + lp_last[:, :, None])
+            if keep is not None:
+                e_at = jnp.where(last_kept[:, :, None], e_at, NEG)
+            if lm is not None:
+                # ext's space column carries the word-boundary LM bonus
+                # (added above); mirror it for stays whose last char is
+                # the space (-1e30 + bonus == -1e30 exactly, so masked
+                # entries stay dead)
+                e_at = e_at + jnp.where((last == space)[:, :, None],
+                                        bonus[:, None, :], 0.0)
             absorbed = jnp.max(jnp.where(hj, e_at, NEG), axis=2)
             nb_stay = jnp.logaddexp(stay_nb, absorbed)
             # kill matched extends: killed[b, q, c] = any_r hj & last_r=c
@@ -286,25 +323,24 @@ def _beam_scan(log_probs: jnp.ndarray, sizes: jnp.ndarray, beam_width: int,
         char = jnp.where(sel_stay, -1,
                          (top_idx - w) % c_dim).astype(jnp.int32)
         parent = jnp.where(sel_stay, top_idx, (top_idx - w) // c_dim)
-        # every payload as a per-candidate concat array [stay | extend]
-        # and ONE packed gather at top_idx (was: a gstay/gext gather pair
-        # per payload — the op-dispatch cost dominated the step)
-        bcast = lambda a: jnp.broadcast_to(
-            a[:, :, None], (b_dim, w, c_dim)).reshape(b_dim, -1)
-        ext_classes = jnp.broadcast_to(
-            jnp.tile(classes.astype(jnp.int32), w)[None],
-            (b_dim, w * c_dim))
-        neg_flat = jnp.full((b_dim, w * c_dim), NEG)
-        (new_p_b, new_p_nb, new_last, new_h1, new_h2, new_ph1,
-         new_ph2) = _gather_packed(
-            [jnp.concatenate([stay_b, neg_flat], 1),
-             jnp.concatenate([nb_stay, ext_flat], 1),
-             jnp.concatenate([last, ext_classes], 1),
-             jnp.concatenate([h1, ext_h1.reshape(b_dim, -1)], 1),
-             jnp.concatenate([h2, ext_h2.reshape(b_dim, -1)], 1),
-             # an extend's parent-prefix hash is its parent's full hash
-             jnp.concatenate([ph1, bcast(h1)], 1),
-             jnp.concatenate([ph2, bcast(h2)], 1)], top_idx)
+        # winner payloads DERIVE from one (B, W)-wide packed gather at
+        # `parent` instead of gathers over (B, W + W*C) pool arrays
+        # (which cost their own construction — concats/broadcasts — plus
+        # a (C+1)x-wider gather): a stay inherits its parent's fields
+        # verbatim; an extend is a pure function of (parent fields,
+        # char) — its p_nb IS its pool score, i.e. exactly top_scores at
+        # that slot, its p_b is empty, and its hashes roll forward from
+        # the parent's.
+        (g_sb, g_nb, g_last, g_h1, g_h2, g_ph1, g_ph2) = _gather_packed(
+            [stay_b, nb_stay, last, h1, h2, ph1, ph2], parent)
+        new_p_b = jnp.where(sel_stay, g_sb, NEG)
+        new_p_nb = jnp.where(sel_stay, g_nb, top_scores)
+        new_last = jnp.where(sel_stay, g_last, char)
+        new_h1 = jnp.where(sel_stay, g_h1, g_h1 * _P1 + char + 1)
+        new_h2 = jnp.where(sel_stay, g_h2, g_h2 * _P2 + char + 1)
+        # an extend's parent-prefix hash is its parent's full hash
+        new_ph1 = jnp.where(sel_stay, g_ph1, g_h1)
+        new_ph2 = jnp.where(sel_stay, g_ph2, g_h2)
 
         # dead beams must not alias live prefixes, and must carry NO mass:
         # left alive, a filler slot would shadow a real prefix (or match
