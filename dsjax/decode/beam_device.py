@@ -54,17 +54,20 @@ _P1 = np.int32(1000003)
 _P2 = np.int32(10007)
 
 
-def _top_k(scores, k):
+def _top_k(scores, k, pallas=False):
     """Candidate selection — the hottest op of the beam step (XLA's
-    lax.top_k at (16, 3840)->128 costs ~95 us of the ~150 us step). On
-    TPU this dispatches to the exact Pallas bitonic top-k
-    (dsjax.ops.topk_pallas, ~9 us; bit-identical incl. tie order); off
-    TPU, wide pools with k > 128, or DSJAX_PALLAS_TOPK=0 fall back to
-    lax.top_k. (An earlier full-sort Pallas attempt merely tied XLA —
-    the win comes from the top-half-discarding merge tree.)"""
+    lax.top_k at (16, 3840)->128 costs ~95 us of the ~150 us step).
+    With pallas=True (single-device TPU decode; the DECODER decides
+    outside jit — a Mosaic call cannot be GSPMD-partitioned, so sharded
+    posteriors must keep lax.top_k) this dispatches to the exact Pallas
+    bitonic top-k (dsjax.ops.topk_pallas; bit-identical incl. tie
+    order) when the pool is >= 512 wide and k <= 128 — note the
+    decoder's default beam_width=16 pool is 480, below the threshold.
+    (An earlier full-sort Pallas attempt merely tied XLA — the win
+    comes from the top-half-discarding merge tree.)"""
     from dsjax.ops.topk_pallas import topk
 
-    return topk(scores, k)
+    return topk(scores, k, use_pallas=pallas)
 
 
 def _as_i32(a):
@@ -117,11 +120,11 @@ def _gather_packed(payloads, idx):
 
 @functools.partial(jax.jit, static_argnames=("beam_width", "blank", "merge",
                                               "space", "cutoff_top_n",
-                                              "cutoff_prob"))
+                                              "cutoff_prob", "pallas"))
 def _beam_scan(log_probs: jnp.ndarray, sizes: jnp.ndarray, beam_width: int,
                blank: int, merge: bool = True, lm=None, alpha=None,
                beta=None, space: int = -1, cutoff_top_n: int = 10 ** 9,
-               cutoff_prob: float = 1.0, carry0=None):
+               cutoff_prob: float = 1.0, carry0=None, pallas: bool = False):
     """log_probs (B, T, C) -> (backptr (T, B, W), emit (T, B, W),
     final total scores (B, W), carry).
 
@@ -143,10 +146,10 @@ def _beam_scan(log_probs: jnp.ndarray, sizes: jnp.ndarray, beam_width: int,
 
     b_dim, t_dim, c_dim = log_probs.shape
     w = beam_width
-    if (lm is None and merge and cutoff_top_n >= c_dim
+    if (pallas and lm is None and merge and cutoff_top_n >= c_dim
             and cutoff_prob >= 1.0 and w <= 128 and c_dim <= 30
-            and os.environ.get("DSJAX_FUSED_BEAM") == "1"
-            and jax.default_backend() == "tpu"):
+            and b_dim > 0
+            and os.environ.get("DSJAX_FUSED_BEAM") == "1"):
         # EXPERIMENTAL opt-in: the whole scan as one Pallas kernel
         # (dsjax.ops.beam_pallas) — bit-identical outputs, currently
         # measured SLOWER than this XLA scan at practical batch
@@ -318,7 +321,7 @@ def _beam_scan(log_probs: jnp.ndarray, sizes: jnp.ndarray, beam_width: int,
         ext_flat = ext_use.reshape(b_dim, -1)
         cand_total = jnp.concatenate(
             [jnp.logaddexp(stay_b, nb_stay), ext_flat], 1)
-        top_scores, top_idx = _top_k(cand_total, w)
+        top_scores, top_idx = _top_k(cand_total, w, pallas)
         sel_stay = top_idx < w
         char = jnp.where(sel_stay, -1,
                          (top_idx - w) % c_dim).astype(jnp.int32)
@@ -456,11 +459,11 @@ def _backtrack(backptr, emit, order):
 @functools.partial(jax.jit, static_argnames=("beam_width", "blank", "merge",
                                               "space", "cutoff_top_n",
                                               "cutoff_prob", "n_best",
-                                              "want_hists"))
+                                              "want_hists", "pallas"))
 def _decode_device(log_probs, sizes, beam_width, blank, n_best,
                    want_hists=False, merge=True, lm=None, alpha=None,
                    beta=None, space=-1, cutoff_top_n=10 ** 9,
-                   cutoff_prob=1.0):
+                   cutoff_prob=1.0, pallas=False):
     """One device program for the whole batch decode: beam scan -> rank
     beams by total score -> backtrack the top n_best. A single call (and a
     single host fetch of the (T, B, n_best) int16 char stream) instead of
@@ -469,7 +472,7 @@ def _decode_device(log_probs, sizes, beam_width, blank, n_best,
     backptr, emit, hists, totals, _carry = _beam_scan(
         log_probs, sizes, beam_width, blank, merge=merge, lm=lm, alpha=alpha,
         beta=beta, space=space, cutoff_top_n=cutoff_top_n,
-        cutoff_prob=cutoff_prob)
+        cutoff_prob=cutoff_prob, pallas=pallas)
     # ties resolve to the lower slot index, same as np.argsort(-scores)
     top_totals, order = jax.lax.top_k(totals, n_best)
     rev, _ = _backtrack(backptr, emit, order.astype(jnp.int32))
@@ -478,17 +481,18 @@ def _decode_device(log_probs, sizes, beam_width, blank, n_best,
 
 @functools.partial(jax.jit, static_argnames=("beam_width", "blank", "merge",
                                               "space", "cutoff_top_n",
-                                              "cutoff_prob"))
+                                              "cutoff_prob", "pallas"))
 def _decode_chunk_device(log_probs, sizes, beam_width, blank, merge=True,
                          lm=None, alpha=None, beta=None, space=-1,
-                         cutoff_top_n=10 ** 9, cutoff_prob=1.0, carry0=None):
+                         cutoff_top_n=10 ** 9, cutoff_prob=1.0, carry0=None,
+                         pallas=False):
     """Streaming twin of _decode_device: scan one chunk from carry0, then
     backtrack EVERY beam slot to the chunk start — one device call per
     chunk (scan + backtrack + best-slot argmax fused)."""
     backptr, emit, _hists, totals, carry = _beam_scan(
         log_probs, sizes, beam_width, blank, merge=merge, lm=lm, alpha=alpha,
         beta=beta, space=space, cutoff_top_n=cutoff_top_n,
-        cutoff_prob=cutoff_prob, carry0=carry0)
+        cutoff_prob=cutoff_prob, carry0=carry0, pallas=pallas)
     order = jnp.broadcast_to(jnp.arange(beam_width, dtype=jnp.int32)[None],
                              (log_probs.shape[0], beam_width))
     rev, start = _backtrack(backptr, emit, order)
@@ -555,6 +559,20 @@ class DeviceBeamDecoder:
         self._lm_rep = None          # lazily replicated copy (see _lm_for)
         self._lm_rep_devices = None
 
+    def _pallas_ok(self, lp) -> bool:
+        """Whether the scan may use Pallas kernels for THIS decode —
+        decided here, outside jit, where sharding/backend/env are
+        concrete (inside a traced function they would be burned into the
+        first compilation and silently stale afterwards).  Sharded
+        posteriors must say no: a Mosaic custom call has no GSPMD
+        partitioning rule, while lax.top_k partitions cleanly."""
+        if jax.default_backend() != "tpu":
+            return False
+        if os.environ.get("DSJAX_PALLAS_TOPK", "1") == "0":
+            return False
+        dset = getattr(getattr(lp, "sharding", None), "device_set", None)
+        return not dset or len(dset) <= 1
+
     def _lm_for(self, lp):
         """LM tables placed to match the posteriors: when ``lp`` is sharded
         over several devices (data-parallel evaluate), the tables must be
@@ -610,7 +628,8 @@ class DeviceBeamDecoder:
         rev_d, start_d, best_d, carry = _decode_chunk_device(
             lp, jnp.full((b,), t, jnp.int32), self.beam_width,
             self.blank_index, cutoff_top_n=self.cutoff_top_n,
-            cutoff_prob=self.cutoff_prob, carry0=carry0, **lm_kw)
+            cutoff_prob=self.cutoff_prob, carry0=carry0,
+            pallas=self._pallas_ok(lp), **lm_kw)
         w = self.beam_width
         rev = np.asarray(rev_d)[:, 0]          # (T, W) int16
         slot = np.asarray(start_d)[0]
@@ -650,7 +669,8 @@ class DeviceBeamDecoder:
             n_best=min(n_best, self.beam_width),
             want_hists=self.ctc_offsets,
             cutoff_top_n=self.cutoff_top_n,
-            cutoff_prob=self.cutoff_prob, **lm_kw)
+            cutoff_prob=self.cutoff_prob,
+            pallas=self._pallas_ok(lp), **lm_kw)
         rev_chars = np.asarray(rev_d)                    # (T, B, n_best)
         n_best = rev_chars.shape[2]
         b_dim = rev_chars.shape[1]

@@ -75,6 +75,9 @@ import numpy as np
 from jax import lax
 from jax.experimental import pallas as pl
 
+# the authoritative prefix-hash constants (beam_device imports this
+# module lazily inside _beam_scan, so the top-level import is cycle-free)
+from dsjax.decode.beam_device import _P1, _P2
 from dsjax.ops.topk_pallas import (_before, _clean_rows, _half_desc_mask,
                                    _sort_rows)
 
@@ -115,7 +118,7 @@ def _to_lanes(x, fill):
     return jnp.max(jnp.where(ident, x, fill), axis=1, keepdims=True)
 
 
-def _beam_kernel(lp_ref, sizes_ref, init_refs_and_outs, *, t_dim, c_dim,
+def _beam_kernel(lp_ref, sizes_ref, init_refs_and_outs, *, c_dim,
                  w, blank, bblk):
     (ipb, ipnb, ilast, ih1, ih2, iph1, iph2,
      bp_ref, em_ref, h1s_ref, h2s_ref,
@@ -265,13 +268,11 @@ def _beam_kernel(lp_ref, sizes_ref, init_refs_and_outs, *, t_dim, c_dim,
     g_ph1 = gather(ph1_r, I32_MIN)
     g_ph2 = gather(ph2_r, I32_MIN)
 
-    P1 = np.int32(1000003)
-    P2 = np.int32(10007)
     new_p_b = jnp.where(sel_stay, g_sb, NEG)
     new_p_nb = jnp.where(sel_stay, g_nb, top_scores)
     new_last = jnp.where(sel_stay, g_last, char)
-    new_h1 = jnp.where(sel_stay, g_h1, g_h1 * P1 + char + 1)
-    new_h2 = jnp.where(sel_stay, g_h2, g_h2 * P2 + char + 1)
+    new_h1 = jnp.where(sel_stay, g_h1, g_h1 * _P1 + char + 1)
+    new_h2 = jnp.where(sel_stay, g_h2, g_h2 * _P2 + char + 1)
     new_ph1 = jnp.where(sel_stay, g_ph1, g_h1)
     new_ph2 = jnp.where(sel_stay, g_ph2, g_h2)
 
@@ -343,9 +344,11 @@ def fused_beam_scan(log_probs, sizes, w: int, blank: int, carry0=None,
         last0 = jnp.full((bp, LANES), -1, jnp.int32)
         h0 = jnp.ones((bp, LANES), jnp.int32)
         ph0 = jnp.zeros((bp, LANES), jnp.int32)
-        # pad lanes >= w start dead with slot sentinels (matches the
-        # per-step dead rule; harmless for w == 128 where they are live
-        # defaults... they are only live defaults for slot 0)
+        # NOTE pad lanes >= w start with the same h=1/ph=0 the XLA scan
+        # gives its own dead slots 1..w-1 — NOT sentinels.  That aliases
+        # the live empty prefix's hash, but the merge join's live mask
+        # (total > NEG/2) excludes them at step 0, and the per-step dead
+        # rule sentinels every lane >= w from the first step onward.
         init = (pb0, pnb0, last0, h0, h0, ph0, ph0)
         lm_state = None
     else:
@@ -364,7 +367,7 @@ def fused_beam_scan(log_probs, sizes, w: int, blank: int, carry0=None,
                     jnp.where(m, -(lane + 2), init[5]),
                     jnp.where(m, -(lane + 2), init[6]))
 
-    kern = functools.partial(_beam_kernel, t_dim=t_dim, c_dim=c_dim, w=w,
+    kern = functools.partial(_beam_kernel, c_dim=c_dim, w=w,
                              blank=blank, bblk=bblk)
 
     state_spec = pl.BlockSpec((bblk, LANES), lambda ib, t: (ib, 0))

@@ -129,13 +129,13 @@ def _half_desc_mask(shape, rows):
     return lax.broadcasted_iota(jnp.int32, shape, len(shape) - 2) < rows // 2
 
 
-def _topk_kernel(s_ref, o_s_ref, o_i_ref, *, n, rows, k):
+def _topk_kernel(s_ref, o_s_ref, o_i_ref, *, rows, k):
+    # the wrapper already padded in-row tails with -inf; the kernel only
+    # pads ROWS up to the power of two the sort needs
     rows_p = _next_pow2(rows)
     s = s_ref[...]                                     # (Bblk, rows, 128)
     i = (lax.broadcasted_iota(jnp.int32, s.shape, 1) * LANES
          + lax.broadcasted_iota(jnp.int32, s.shape, 2))
-    if rows * LANES > n:                                # in-row padding
-        s = jnp.where(i < n, s, NEG_FILL)
     if rows_p > rows:
         pad = (s.shape[0], rows_p - rows, LANES)
         s = jnp.concatenate([s, jnp.full(pad, NEG_FILL, s.dtype)], axis=1)
@@ -179,7 +179,7 @@ def topk_pallas(scores: jnp.ndarray, k: int, interpret: bool = False):
         tiles = jnp.pad(tiles, ((0, grid * bblk - b), (0, 0), (0, 0)),
                         constant_values=NEG_FILL)
     out_s, out_i = pl.pallas_call(
-        functools.partial(_topk_kernel, n=n, rows=rows, k=k),
+        functools.partial(_topk_kernel, rows=rows, k=k),
         grid=(grid,),
         in_specs=[pl.BlockSpec((bblk, rows, LANES), lambda g: (g, 0, 0))],
         out_specs=[pl.BlockSpec((bblk, k), lambda g: (g, 0)),
@@ -191,14 +191,27 @@ def topk_pallas(scores: jnp.ndarray, k: int, interpret: bool = False):
     return out_s[:b], out_i[:b]
 
 
-def topk(scores: jnp.ndarray, k: int):
-    """`lax.top_k` twin: the Pallas kernel on TPU when the pool is wide
-    enough to pay for it, XLA's top_k otherwise (CPU test mesh included).
-    DSJAX_PALLAS_TOPK=0 forces the XLA path."""
+def topk(scores: jnp.ndarray, k: int, use_pallas=None):
+    """`lax.top_k` twin: the Pallas kernel when the pool is wide enough
+    to pay for it (N >= 512 — the default beam_width=16 pool of 480 is
+    cheaper on lax.top_k), XLA's top_k otherwise.
+
+    use_pallas: tri-state, decided by the CALLER outside jit when
+    possible.  None = legacy auto (TPU backend + DSJAX_PALLAS_TOPK!=0,
+    both read at TRACE time — a later env/backend change does not retrace,
+    so prefer passing an explicit bool computed where values are
+    concrete).  False = always lax.top_k.  True = Pallas when the shape
+    gates pass.  Callers MUST pass False when `scores` is sharded across
+    devices: a Mosaic custom call has no GSPMD partitioning rule, unlike
+    lax.top_k.  Caveat either way: the comparator assumes no NaNs (the
+    beam pool cannot produce them); NaN scores would break the total
+    order and silently diverge from lax.top_k.
+    """
     n = scores.shape[-1]
-    if (scores.ndim == 2 and scores.dtype == jnp.float32 and n >= 512
-            and k <= LANES
-            and os.environ.get("DSJAX_PALLAS_TOPK", "1") != "0"
-            and jax.default_backend() == "tpu"):
+    if use_pallas is None:
+        use_pallas = (os.environ.get("DSJAX_PALLAS_TOPK", "1") != "0"
+                      and jax.default_backend() == "tpu")
+    if (use_pallas and scores.ndim == 2 and scores.dtype == jnp.float32
+            and n >= 512 and k <= LANES and scores.shape[0] > 0):
         return topk_pallas(scores, k)
     return jax.lax.top_k(scores, k)
