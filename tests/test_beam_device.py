@@ -148,3 +148,32 @@ def test_ctcdecode_offsets_pruned_width_sane():
         chars = [LABELS.index(ch) for ch in ds[0][0]]
         for j, c in enumerate(chars):
             assert probs[0, offs[j], c] >= probs[0, emit[j], c] - 1e-7
+
+
+def test_pallas_gate_rejects_sharded_posteriors(monkeypatch):
+    """The Pallas kernels must never engage on sharded posteriors: a
+    Mosaic custom call has no GSPMD partitioning rule, unlike lax.top_k.
+    The decoder decides OUTSIDE jit (trace-time env/backend reads would
+    be burned into the first compilation), so the gate is testable
+    directly.  Backend/env are faked to isolate the sharding branch."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+    dev = DeviceBeamDecoder(LABELS, beam_width=32)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.delenv("DSJAX_PALLAS_TOPK", raising=False)
+
+    lp_host = np.zeros((8, 4, len(LABELS)), np.float32)
+    assert dev._pallas_ok(lp_host)                  # host array: single
+    lp_one = jnp.asarray(lp_host)
+    assert dev._pallas_ok(lp_one)                   # one-device array
+
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    lp_sharded = jax.device_put(
+        lp_one, NamedSharding(mesh, PartitionSpec("data")))
+    if len(jax.devices()) > 1:
+        assert not dev._pallas_ok(lp_sharded)       # sharded: lax.top_k
+
+    monkeypatch.setenv("DSJAX_PALLAS_TOPK", "0")
+    assert not dev._pallas_ok(lp_one)               # env kill switch
