@@ -36,9 +36,13 @@ Measured (B=16, N=3840, k=128, v5e, inside a 500-step scan): the
 network itself runs in ~13 us of kernel time (5.7 sort + 7.2 rounds),
 but a pallas_call launched from inside lax.scan pays ~78 us of launch
 overhead on this runtime (a trivial copy kernel measures the same), so
-the dispatched op nets 95 -> 81 us per beam step.  The full win needs
-the launch amortized across the whole scan — see ops/beam_pallas.py
-for that experiment and its own trade-offs.
+the dispatched op nets 95 -> 81 us per beam step.  A later same-day
+sweep across pool sizes (N=480/960/1920/3840) measured the dispatched
+op within +-15 us of lax.top_k either way — the launch overhead
+dominates both paths and session-to-session variance is that large —
+so the >= 512 dispatch threshold is neutral-at-worst; the kernel's
+unambiguous win needs the launch amortized across the whole scan, see
+ops/beam_pallas.py for that experiment and its own trade-offs.
 
 Used by the beam decoder via `topk` below, which falls back to
 `jax.lax.top_k` off-TPU (the CPU test mesh) or when shapes make the
