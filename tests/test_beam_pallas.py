@@ -8,6 +8,8 @@ and the full carry — because the decoder-parity suite pins slot order
 and tie behavior, not just decoded strings.
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -79,3 +81,21 @@ def test_fused_scan_streaming_carry(rng):
     two_got = fused_beam_scan(lp[:, t // 2:], sizes, w, 0, carry0=carry,
                               interpret=True)
     _assert_equal(two_ref, two_got)
+
+
+@pytest.mark.skipif(not os.environ.get("DSJAX_TEST_TPU"),
+                    reason="hardware A/B; set DSJAX_TEST_TPU=1 on a TPU")
+def test_fused_scan_bit_equal_on_hardware(rng):
+    """The compiled Mosaic kernel (not interpret mode) against the XLA
+    scan on the real chip — the claim the module docstring makes.
+    ~3-4 min: both programs compile for (16, 200, 29)."""
+    b, t, c, w = 16, 200, 29, 128
+    logits = rng.standard_normal((b, t, c)) * 3.0
+    logits[..., 0] += 3.0
+    e = np.exp(logits - logits.max(-1, keepdims=True))
+    p = (e / e.sum(-1, keepdims=True)).astype(np.float32)
+    lp = jax.device_put(jnp.asarray(np.log(np.maximum(p, 1e-30))))
+    sizes = jax.device_put(jnp.full((b,), t, jnp.int32))
+    ref = _beam_scan(lp, sizes, w, 0)
+    got = fused_beam_scan(lp, sizes, w, 0)
+    _assert_equal(ref, got)
