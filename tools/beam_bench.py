@@ -131,6 +131,38 @@ def main():
                 print(f"device beam  width {width:3d} ({name:6s}, {tag}): "
                       f"{B / dt:7.1f} utt/s ({dt / B * 1000:.1f} ms/utt)")
 
+    # EVAL regime: batch 64, top hypothesis only, blank-dominated — the
+    # exact shape evaluate() runs (the rows above are the conservative
+    # B=16 / n_best=all setting, which ships a (T, B, W) char stream per
+    # batch).  DSJAX_BEAM_EVAL_BATCH overrides the 64.
+    eb = int(os.environ.get("DSJAX_BEAM_EVAL_BATCH", "64"))
+    eval_probs = rand_probs(np.random.default_rng(3), eb, T,
+                            len(DEFAULT_LABELS), blank_bias=3.0)
+    shared = None
+    for width in (10, 32, 128):
+        rows = [("no LM", DeviceBeamDecoder(DEFAULT_LABELS,
+                                            beam_width=width))]
+        if shared is None:
+            d = DeviceBeamDecoder(DEFAULT_LABELS, beam_width=width,
+                                  lm_path=arpa, alpha=0.4, beta=0.85)
+            shared = d._lm
+        else:
+            d = DeviceBeamDecoder(DEFAULT_LABELS, beam_width=width,
+                                  shared_lm=shared, alpha=0.4, beta=0.85)
+        rows.append(("dev LM", d))
+        for name, dd in rows:
+            dd.decode(eval_probs[:2, :64], n_best=1)   # warm compile
+            dd.decode(eval_probs, n_best=1)
+            ts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                dd.decode(eval_probs, n_best=1)
+                ts.append(time.perf_counter() - t0)
+            dt = float(np.median(ts))
+            print(f"eval regime  width {width:3d} ({name:6s}, B={eb}, "
+                  f"n_best=1): {eb / dt:7.1f} utt/s "
+                  f"({dt / eb * 1000:.2f} ms/utt)")
+
 
 if __name__ == "__main__":
     main()
