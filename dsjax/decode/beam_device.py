@@ -120,11 +120,13 @@ def _gather_packed(payloads, idx):
 
 @functools.partial(jax.jit, static_argnames=("beam_width", "blank", "merge",
                                               "space", "cutoff_top_n",
-                                              "cutoff_prob", "pallas"))
+                                              "cutoff_prob", "pallas",
+                                              "fused"))
 def _beam_scan(log_probs: jnp.ndarray, sizes: jnp.ndarray, beam_width: int,
                blank: int, merge: bool = True, lm=None, alpha=None,
                beta=None, space: int = -1, cutoff_top_n: int = 10 ** 9,
-               cutoff_prob: float = 1.0, carry0=None, pallas: bool = False):
+               cutoff_prob: float = 1.0, carry0=None, pallas: bool = False,
+               fused: bool = False):
     """log_probs (B, T, C) -> (backptr (T, B, W), emit (T, B, W),
     final total scores (B, W), carry).
 
@@ -146,15 +148,16 @@ def _beam_scan(log_probs: jnp.ndarray, sizes: jnp.ndarray, beam_width: int,
 
     b_dim, t_dim, c_dim = log_probs.shape
     w = beam_width
-    if (pallas and lm is None and merge and cutoff_top_n >= c_dim
+    if (fused and lm is None and merge and cutoff_top_n >= c_dim
             and cutoff_prob >= 1.0 and w <= 128 and c_dim <= 30
-            and b_dim > 0
-            and os.environ.get("DSJAX_FUSED_BEAM") == "1"):
-        # EXPERIMENTAL opt-in: the whole scan as one Pallas kernel
-        # (dsjax.ops.beam_pallas) — bit-identical outputs, currently
-        # measured SLOWER than this XLA scan at practical batch
-        # blocking (see its module docstring); kept as the scaffold
-        # for future in-kernel LM fusion.
+            and b_dim > 0):
+        # EXPERIMENTAL opt-in (``fused`` is decided by the DECODER
+        # outside jit — see _fused_ok — so env/backend changes are
+        # never silently burned into a cached trace): the whole scan
+        # as one Pallas kernel (dsjax.ops.beam_pallas) — bit-identical
+        # outputs, currently measured SLOWER than this XLA scan at
+        # practical batch blocking (see its module docstring); kept as
+        # the scaffold for future in-kernel LM fusion.
         from dsjax.ops.beam_pallas import fused_beam_scan
 
         bp_s, em_s, hists, totals, carry = fused_beam_scan(
@@ -459,11 +462,12 @@ def _backtrack(backptr, emit, order):
 @functools.partial(jax.jit, static_argnames=("beam_width", "blank", "merge",
                                               "space", "cutoff_top_n",
                                               "cutoff_prob", "n_best",
-                                              "want_hists", "pallas"))
+                                              "want_hists", "pallas",
+                                              "fused"))
 def _decode_device(log_probs, sizes, beam_width, blank, n_best,
                    want_hists=False, merge=True, lm=None, alpha=None,
                    beta=None, space=-1, cutoff_top_n=10 ** 9,
-                   cutoff_prob=1.0, pallas=False):
+                   cutoff_prob=1.0, pallas=False, fused=False):
     """One device program for the whole batch decode: beam scan -> rank
     beams by total score -> backtrack the top n_best. A single call (and a
     single host fetch of the (T, B, n_best) int16 char stream) instead of
@@ -472,7 +476,7 @@ def _decode_device(log_probs, sizes, beam_width, blank, n_best,
     backptr, emit, hists, totals, _carry = _beam_scan(
         log_probs, sizes, beam_width, blank, merge=merge, lm=lm, alpha=alpha,
         beta=beta, space=space, cutoff_top_n=cutoff_top_n,
-        cutoff_prob=cutoff_prob, pallas=pallas)
+        cutoff_prob=cutoff_prob, pallas=pallas, fused=fused)
     # ties resolve to the lower slot index, same as np.argsort(-scores)
     top_totals, order = jax.lax.top_k(totals, n_best)
     rev, _ = _backtrack(backptr, emit, order.astype(jnp.int32))
@@ -481,18 +485,19 @@ def _decode_device(log_probs, sizes, beam_width, blank, n_best,
 
 @functools.partial(jax.jit, static_argnames=("beam_width", "blank", "merge",
                                               "space", "cutoff_top_n",
-                                              "cutoff_prob", "pallas"))
+                                              "cutoff_prob", "pallas",
+                                              "fused"))
 def _decode_chunk_device(log_probs, sizes, beam_width, blank, merge=True,
                          lm=None, alpha=None, beta=None, space=-1,
                          cutoff_top_n=10 ** 9, cutoff_prob=1.0, carry0=None,
-                         pallas=False):
+                         pallas=False, fused=False):
     """Streaming twin of _decode_device: scan one chunk from carry0, then
     backtrack EVERY beam slot to the chunk start — one device call per
     chunk (scan + backtrack + best-slot argmax fused)."""
     backptr, emit, _hists, totals, carry = _beam_scan(
         log_probs, sizes, beam_width, blank, merge=merge, lm=lm, alpha=alpha,
         beta=beta, space=space, cutoff_top_n=cutoff_top_n,
-        cutoff_prob=cutoff_prob, carry0=carry0, pallas=pallas)
+        cutoff_prob=cutoff_prob, carry0=carry0, pallas=pallas, fused=fused)
     order = jnp.broadcast_to(jnp.arange(beam_width, dtype=jnp.int32)[None],
                              (log_probs.shape[0], beam_width))
     rev, start = _backtrack(backptr, emit, order)
@@ -573,6 +578,20 @@ class DeviceBeamDecoder:
         dset = getattr(getattr(lp, "sharding", None), "device_set", None)
         return not dset or len(dset) <= 1
 
+    def _fused_ok(self, lp) -> bool:
+        """Whether THIS decode may use the whole-scan fused Pallas beam
+        kernel (dsjax.ops.beam_pallas) — like _pallas_ok, decided
+        outside jit so the DSJAX_FUSED_BEAM opt-in is re-read every
+        decode (never burned stale into a cached trace), and
+        independent of the DSJAX_PALLAS_TOPK top-k toggle. Sharded
+        posteriors must say no for the same GSPMD reason."""
+        if jax.default_backend() != "tpu":
+            return False
+        if os.environ.get("DSJAX_FUSED_BEAM") != "1":
+            return False
+        dset = getattr(getattr(lp, "sharding", None), "device_set", None)
+        return not dset or len(dset) <= 1
+
     def _lm_for(self, lp):
         """LM tables placed to match the posteriors: when ``lp`` is sharded
         over several devices (data-parallel evaluate), the tables must be
@@ -629,7 +648,7 @@ class DeviceBeamDecoder:
             lp, jnp.full((b,), t, jnp.int32), self.beam_width,
             self.blank_index, cutoff_top_n=self.cutoff_top_n,
             cutoff_prob=self.cutoff_prob, carry0=carry0,
-            pallas=self._pallas_ok(lp), **lm_kw)
+            pallas=self._pallas_ok(lp), fused=self._fused_ok(lp), **lm_kw)
         w = self.beam_width
         rev = np.asarray(rev_d)[:, 0]          # (T, W) int16
         slot = np.asarray(start_d)[0]
@@ -670,7 +689,7 @@ class DeviceBeamDecoder:
             want_hists=self.ctc_offsets,
             cutoff_top_n=self.cutoff_top_n,
             cutoff_prob=self.cutoff_prob,
-            pallas=self._pallas_ok(lp), **lm_kw)
+            pallas=self._pallas_ok(lp), fused=self._fused_ok(lp), **lm_kw)
         rev_chars = np.asarray(rev_d)                    # (T, B, n_best)
         n_best = rev_chars.shape[2]
         b_dim = rev_chars.shape[1]

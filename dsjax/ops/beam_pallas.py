@@ -210,7 +210,12 @@ def _beam_kernel(lp_ref, sizes_ref, init_refs_and_outs, *, c_dim,
     # unique (two stays with equal parent hash AND equal last char would
     # be the same prefix) — so summing per-row class bits equals their
     # OR: killed_bits[b, q] has bit c set iff extend (q, c) is killed.
-    killed_bits = jnp.sum(jnp.where(hj, 1 << last_r, 0), axis=1,
+    # shift amount clamped to >= 0: lanes where last_r is the I32_MIN /
+    # -1 fill are masked off by hj, but the shift itself must still be
+    # defined on every lane (a negative-count shift is implementation-
+    # defined in XLA; the clamp is free on the VPU)
+    killed_bits = jnp.sum(jnp.where(hj, 1 << jnp.maximum(last_r, 0), 0),
+                          axis=1,
                           keepdims=True).astype(jnp.int32)  # (B, 1, Wq)
 
     # ---- candidate pool (B, rows, 128): row 0 stays, row 1+c extends.

@@ -55,7 +55,6 @@ vs `lax.top_k` is what the decoder-parity fuzz tests pin.
 from __future__ import annotations
 
 import functools
-import os
 
 import jax
 import jax.numpy as jnp
@@ -200,21 +199,18 @@ def topk(scores: jnp.ndarray, k: int, use_pallas=None):
     to pay for it (N >= 512 — the default beam_width=16 pool of 480 is
     cheaper on lax.top_k), XLA's top_k otherwise.
 
-    use_pallas: tri-state, decided by the CALLER outside jit when
-    possible.  None = legacy auto (TPU backend + DSJAX_PALLAS_TOPK!=0,
-    both read at TRACE time — a later env/backend change does not retrace,
-    so prefer passing an explicit bool computed where values are
-    concrete).  False = always lax.top_k.  True = Pallas when the shape
-    gates pass.  Callers MUST pass False when `scores` is sharded across
-    devices: a Mosaic custom call has no GSPMD partitioning rule, unlike
-    lax.top_k.  Caveat either way: the comparator assumes no NaNs (the
+    use_pallas: tri-state, decided by the CALLER outside jit.  None (the
+    default) is CONSERVATIVE: always lax.top_k — safe under jit/pjit with
+    sharded inputs, where the Mosaic kernel would be wrong (no GSPMD
+    partitioning rule).  False = always lax.top_k.  True = Pallas when
+    the shape gates pass; pass it only where backend and sharding are
+    concrete (e.g. DeviceBeamDecoder._pallas_ok decides per decode,
+    outside jit).  Callers MUST NOT pass True for scores sharded across
+    devices.  Caveat either way: the comparator assumes no NaNs (the
     beam pool cannot produce them); NaN scores would break the total
     order and silently diverge from lax.top_k.
     """
     n = scores.shape[-1]
-    if use_pallas is None:
-        use_pallas = (os.environ.get("DSJAX_PALLAS_TOPK", "1") != "0"
-                      and jax.default_backend() == "tpu")
     if (use_pallas and scores.ndim == 2 and scores.dtype == jnp.float32
             and n >= 512 and k <= LANES and scores.shape[0] > 0):
         return topk_pallas(scores, k)
