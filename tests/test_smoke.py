@@ -256,3 +256,74 @@ def test_spec_augment_device_warns_about_dropped_warp(dataset, tmp_path):
         warnings.simplefilter("always")
         Trainer(cfg, DEFAULT_LABELS)
     assert not any("time warp" in str(w.message) for w in caught)
+
+
+def test_driver_config4_unidirectional_gru_augmented(dataset, tmp_path):
+    """BASELINE.json driver config #4 composed END-TO-END: unidirectional
+    GRU + Lookahead conv (reference model.py:105-135 + the train_config
+    UniDirectionalConfig group) with SpecAugment + noise injection
+    (reference loader/spec_augment.py + data_loader.py:97-128), through
+    train() -> evaluate() -> transcribe(). Every piece has its own unit
+    test; this pins the COMPOSITION the driver names as target config #4."""
+    root, manifest = dataset
+    labels_path = str(tmp_path / "labels.json")
+    with open(labels_path, "w") as f:
+        json.dump(DEFAULT_LABELS, f)
+    ckpt_dir = str(tmp_path / "ckpts")
+    noise_dir = str(tmp_path / "noise")
+    os.makedirs(noise_dir)
+    rng = np.random.default_rng(7)
+    for i in range(2):
+        save_wav(os.path.join(noise_dir, f"n{i}.wav"),
+                 (0.1 * rng.standard_normal(8000)).astype(np.float32), 16000)
+
+    from dsjax.workflows import evaluate, train, transcribe
+
+    cfg = compose(TrainConfig, [
+        "model=unidirectional",
+        f"data.train_path={manifest}",
+        f"data.val_path={manifest}",
+        f"data.labels_path={labels_path}",
+        "data.batch_size=3",
+        "data.num_workers=2",
+        "data.bucket_frames=32",
+        "data.bucket_labels=8",
+        "model.rnn_type=gru",
+        "model.hidden_size=16",
+        "model.hidden_layers=2",
+        "model.lookahead_context=3",
+        "data.augmentation.spec_augment=true",
+        f"data.augmentation.noise_dir={noise_dir}",
+        "data.augmentation.noise_prob=0.5",
+        "trainer.max_epochs=1",
+        "trainer.precision=32",
+        "trainer.limit_train_batches=2",
+        "trainer.limit_val_batches=1",
+        f"trainer.log_dir={ckpt_dir}/logs",
+        f"checkpoint.dirpath={ckpt_dir}",
+        "checkpoint.save_top_k=1",
+    ])
+    from dsjax.config import UniDirectionalConfig
+
+    assert isinstance(cfg.model, UniDirectionalConfig)  # group swap held
+    train(cfg)
+    assert os.path.isdir(os.path.join(ckpt_dir, "last"))
+
+    eval_cfg = compose(EvalConfig, [
+        f"model.model_path={ckpt_dir}",
+        f"test_path={manifest}",
+        "batch_size=3",
+        "verbose=false",
+    ])
+    wer, cer = evaluate(eval_cfg)
+    assert 0.0 <= wer and 0.0 <= cer
+
+    # the checkpoint round-trips the unidirectional/GRU/lookahead config:
+    # transcribe() rebuilds the model purely from the checkpoint's hparams
+    wav0 = os.path.join(root, "wav", "s0.wav")
+    t_cfg = compose(TranscribeConfig, [
+        f"model.model_path={ckpt_dir}",
+        f"audio_path={wav0}",
+    ])
+    results = transcribe(t_cfg)
+    assert "transcription" in results["output"][0]
