@@ -19,6 +19,8 @@ import jax.numpy as jnp  # noqa: E402
 from dsjax.decode.beam_device import _beam_scan  # noqa: E402
 from dsjax.ops.beam_pallas import fused_beam_scan  # noqa: E402
 
+pytestmark = pytest.mark.slow  # integration-scale; fast path: -m 'not slow'
+
 
 def _probs(rng, b, t, c, tie_rows=True):
     logits = rng.standard_normal((b, t, c)) * 3.0

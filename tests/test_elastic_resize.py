@@ -3,6 +3,7 @@ onto a different mesh (the preemption/rescale story in kubernetes/README.md
 — orbax reshards to the target state's shardings)."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -13,6 +14,8 @@ from dsjax.labels import DEFAULT_LABELS
 from dsjax.parallel.mesh import make_mesh
 from dsjax.train.checkpoint import CheckpointHandler
 from dsjax.train.loop import Trainer
+
+pytestmark = pytest.mark.slow  # integration-scale; fast path: -m 'not slow'
 
 
 def _cfg():

@@ -10,6 +10,7 @@ numerics so parity cannot regress silently. Torch-free.
 """
 
 import os
+import pytest
 
 import numpy as np
 
@@ -19,6 +20,8 @@ from dsjax.config import SpectConfig
 from dsjax.model.ds2 import DeepSpeech2
 from dsjax.model.torch_import import convert_state_dict, infer_architecture
 from tests.golden_flagship import CLASSES, LAYERS, flagship_input, flagship_state
+
+pytestmark = pytest.mark.slow  # integration-scale; fast path: -m 'not slow'
 
 FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures",
                        "golden_flagship.npz")

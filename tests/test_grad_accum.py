@@ -1,6 +1,7 @@
 """Gradient accumulation: averaged micro-batch grads, Lightning-parity."""
 
 import numpy as np
+import pytest
 
 import jax
 
@@ -30,6 +31,7 @@ def _trainer(accum=1, *extra):
                    mesh=make_mesh(1, 1, devices=jax.devices()[:1]))
 
 
+@pytest.mark.slow
 def test_accum_identical_micros_equals_single_step():
     rng = np.random.default_rng(0)
     batch = _batch(rng)
@@ -52,6 +54,7 @@ def test_accum_identical_micros_equals_single_step():
     assert int(np.asarray(s2.step)) == 1  # one optimizer step
 
 
+@pytest.mark.slow
 def test_accum_through_fit_loop():
     """fit() with accumulate_grad_batches=2 consumes batches in pairs."""
     rng = np.random.default_rng(1)
@@ -109,6 +112,7 @@ def test_ragged_subs_sum_unscaled():
     assert max(jax.tree_util.tree_leaves(diffs)) < 1e-5
 
 
+@pytest.mark.slow
 def test_ragged_fit_uses_unit_scale(monkeypatch):
     """fit() must pass n_accum=1 for ragged sub-batch lists (NOT average
     them like micro-batch accumulation) and the real-batch count when

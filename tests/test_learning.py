@@ -3,6 +3,7 @@ model must reach low WER through the REAL pipeline (train loop + greedy
 decode + metrics), not just a decreasing loss."""
 
 import numpy as np
+import pytest
 
 import jax
 
@@ -12,6 +13,8 @@ from dsjax.labels import DEFAULT_LABELS
 from dsjax.parallel.mesh import make_mesh
 from dsjax.train.loop import Trainer
 from dsjax.train.metrics import WordErrorRate
+
+pytestmark = pytest.mark.slow  # integration-scale; fast path: -m 'not slow'
 
 
 def _make_learnable_batch(rng, n_per_class=4):

@@ -119,6 +119,7 @@ def _random_spaceful_probs(rng, b, t):
         np.float32)
 
 
+@pytest.mark.slow
 def test_device_lm_beam_matches_host_exhaustive(arpa_path):
     """Top-1 strings AND scores match the host twin at exhaustive widths,
     across alpha/beta settings (incl. alpha=0 which must equal no-LM up to

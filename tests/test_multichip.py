@@ -32,6 +32,7 @@ def _cfg(batch):
 
 
 @pytest.mark.parametrize("dp,tp", [(8, 1), (4, 2)])
+@pytest.mark.slow
 def test_train_step_on_mesh(dp, tp):
     if len(jax.devices()) < dp * tp:
         pytest.skip("needs 8 devices")
@@ -70,6 +71,7 @@ def test_dp_matches_single_device_loss():
 
 
 @pytest.mark.parametrize("dcn,dp,tp", [(2, 4, 1), (2, 2, 2)])
+@pytest.mark.slow
 def test_dcn_mesh_matches_flat_dp(dcn, dp, tp):
     """Multi-slice ('dcn','data','model') mesh computes the same loss as
     the flat single-slice mesh for the same global batch (the dcn axis is

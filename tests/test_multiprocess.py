@@ -19,6 +19,8 @@ import pytest
 
 import jax
 
+pytestmark = pytest.mark.slow  # integration-scale; fast path: -m 'not slow'
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

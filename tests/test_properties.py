@@ -23,6 +23,7 @@ torch = pytest.importorskip("torch")
     l_max=st.integers(1, 6),
     seed=st.integers(0, 10_000),
 )
+@pytest.mark.slow
 def test_ctc_matches_torch_random_shapes(b, t, c, l_max, seed):
     rng = np.random.default_rng(seed)
     logits = rng.standard_normal((b, t, c)).astype(np.float32)

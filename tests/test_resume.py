@@ -33,6 +33,7 @@ def _cfg(manifest, ckpt_dir, labels_path, *extra):
         f"checkpoint.dirpath={ckpt_dir}", *extra])
 
 
+@pytest.mark.slow
 def test_restore_from_path_matches_handler(dataset, tmp_path):
     """restore_from_path on the handler's dirpath (and its last/ subdir)
     returns the exact state the handler saved."""
@@ -66,6 +67,7 @@ def test_restore_from_path_matches_handler(dataset, tmp_path):
         restore_from_path(str(tmp_path / "nowhere"), trainer.init_state())
 
 
+@pytest.mark.slow
 def test_train_resume_from_checkpoint_path(dataset, tmp_path, capsys):
     """train() with trainer.resume_from_checkpoint continues from the saved
     step into a DIFFERENT checkpoint dir (fine-tune/fork layout)."""
@@ -133,6 +135,7 @@ def test_warm_start_from_torch_ckpt(tmp_path):
         _resume_explicit(path, Trainer(bad, list(DEFAULT_LABELS)).init_state())
 
 
+@pytest.mark.slow
 def test_auto_resume_wins_over_explicit_on_relaunch(dataset, tmp_path, capsys):
     """Elastic relaunch semantics (reference training.py:24-27): when
     load_auto_checkpoint finds a checkpoint in the run's OWN dirpath, it

@@ -400,6 +400,7 @@ def test_long_upload_rides_side_pool_not_batch():
     worker._long_pool.shutdown(wait=True)
 
 
+@pytest.mark.slow
 def test_stream_chunked_equals_one_shot_transcript():
     """VERDICT r3 #3: the chunked /stream greedy transcript must EQUAL the
     one-shot transcript of the same multi-chunk utterance (conv boundary

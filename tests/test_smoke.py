@@ -154,6 +154,7 @@ def test_train_eval_transcribe_roundtrip(dataset, tmp_path):
     assert "output" in results2
 
 
+@pytest.mark.slow
 def test_auto_resume(dataset, tmp_path):
     root, manifest = dataset
     labels_path = str(tmp_path / "labels.json")
@@ -172,6 +173,7 @@ def test_auto_resume(dataset, tmp_path):
     train(cfg2)
 
 
+@pytest.mark.slow
 def test_mid_epoch_resume(dataset, tmp_path):
     """every_n_steps checkpointing records the sampler position; resume
     skips the consumed bins (reference start_index semantics)."""
@@ -258,6 +260,7 @@ def test_spec_augment_device_warns_about_dropped_warp(dataset, tmp_path):
     assert not any("time warp" in str(w.message) for w in caught)
 
 
+@pytest.mark.slow
 def test_driver_config4_unidirectional_gru_augmented(dataset, tmp_path):
     """BASELINE.json driver config #4 composed END-TO-END: unidirectional
     GRU + Lookahead conv (reference model.py:105-135 + the train_config
