@@ -6,11 +6,17 @@ batch. Here the whole Katz-backoff scorer lives in HBM as open-addressing
 hash tables so the beam search scan (dsjax.decode.beam_device) can fuse
 ``alpha * ln P(word | context) + beta`` without leaving the device:
 
-* every n-gram order is one two-choice bucketed hash table packed
+* every n-gram order is one SINGLE-PROBE bucketed hash table packed
   bucket-major — two independent 32-bit check keys plus bitcast float32
-  log10-prob and backoff per slot — so a query is two contiguous 64-byte
-  row gathers followed by a branch-free key-match select (collision odds
-  ~2^-64 per pair, the same standard as the beam's exact prefix merging);
+  log10-prob and backoff per slot — so a query is ONE contiguous
+  (BUCKET * 16)-byte row gather followed by a branch-free key-match
+  select (collision odds ~2^-64 per pair, the same standard as the
+  beam's exact prefix merging). TPU gather cost scales with gathered ROW
+  count, not bytes (measured ~35 ns/row at random HBM rows), so one
+  8-slot bucket beats the former two-choice pair of 4-slot buckets ~2x
+  at identical hit semantics; the build simply grows the table until no
+  bucket overflows (load <= 0.25 at the start point, so at most a
+  doubling or two);
 * decoder-side words are identified by two rolling hashes over their LABEL
   indices (beams never materialize strings); n-gram keys fold those hash
   PAIRS directly — there is no word-id indirection, so the per-step
@@ -49,15 +55,13 @@ CHAR_SEED = np.uint32(1)
 FOLD_A1 = np.uint32(2654435761)
 FOLD_A2 = np.uint32(2246822519)
 FOLD_SEED = np.uint32(2166136261)
-# bucket-index mixers (two independent choices per key)
+# bucket-index mixer (ONE bucket choice per key — a probe is one gather)
 MIX1 = np.uint32(0x9E3779B1)
 MIX2 = np.uint32(0x85EBCA6B)
-MIX1B = np.uint32(0xC2B2AE35)
-MIX2B = np.uint32(0x27D4EB2F)
 EMPTY_KEY = np.uint32(0xFFFFFFFF)
-BUCKET = 4  # slots per bucket: one probe = two 4-row contiguous gathers
-# (two-choice balancing keeps mean bucket load ~2 at table load 0.5, so
-# D=4 virtually never overflows; the builder grows the table if it does)
+BUCKET = 8  # slots per bucket: one probe = ONE 8-slot contiguous gather
+# (the builder starts at mean load 2/bucket and doubles the table until
+# no bucket holds more than BUCKET keys — a couple of doublings at most)
 
 # absent-context sentinel: a context slot with h1 == EMPTY_KEY holds no
 # word yet (real word hashes are remapped away from EMPTY_KEY at build and
@@ -67,10 +71,6 @@ CTX_ABSENT = EMPTY_KEY
 
 def _mix_index(k1, k2, mask):
     return ((k1 * MIX1) ^ (k2 * MIX2)) & mask
-
-
-def _mix_index_b(k1, k2, mask):
-    return ((k1 * MIX1B) ^ (k2 * MIX2B)) & mask
 
 
 def _fold_ids(ids: np.ndarray, mult: np.uint32,
@@ -106,12 +106,15 @@ def _word_hash(label_ids) -> "tuple[int, int]":
 
 @register_pytree_node_class
 class HashTable:
-    """Two-choice bucketed table: data (n_buckets * BUCKET, 4) uint32 =
-    [key1, key2, bitcast(f32 val0), bitcast(f32 val1)]; every key lives in
-    one of TWO candidate buckets (_mix_index / _mix_index_b), so a query
-    is exactly two contiguous BUCKET-row gathers — a FIXED 2*BUCKET*16-byte
-    fetch, unlike linear probing whose worst-case cluster (measured 28-42
-    rows at 50% load over millions of keys) set the probe window.
+    """Single-probe bucketed table: data (n_buckets * BUCKET, 4) uint32 =
+    [key1, key2, bitcast(f32 val0), bitcast(f32 val1)]; every key lives
+    in its ONE _mix_index bucket, so a query is exactly one contiguous
+    BUCKET-row gather — a FIXED BUCKET*16-byte fetch. (History: linear
+    probing's worst-case cluster, 28-42 rows at 50% load over millions
+    of keys, set the probe window; the two-choice successor fixed that
+    but paid TWO gather rows per probe, and TPU random-row gathers are
+    latency-bound per ROW — one 8-slot bucket at a quarter the load is
+    the same hit semantics at half the gather rows.)
     ``depth`` = BUCKET (kept for aux-data compatibility)."""
 
     def __init__(self, data, depth: int = BUCKET):
@@ -137,47 +140,24 @@ class HashTable:
 
 def _build_table(k1: np.ndarray, k2: np.ndarray, v0: np.ndarray,
                  v1: np.ndarray) -> HashTable:
-    """Bulk two-choice bucket insertion (vectorized): start everyone in
-    their first-choice bucket, then iteratively move overflow entries to
-    their second choice; grow the table and retry if both overflow (load
-    <= 0.5 makes that essentially impossible for real LMs)."""
+    """Bulk single-probe bucket insertion (vectorized): every key goes to
+    its one _mix_index bucket; if any bucket overflows BUCKET slots the
+    table doubles and retries (start load = 2 keys per 8-slot bucket, so
+    the Poisson tail costs at most a doubling or two for real LMs)."""
     n = len(k1)
     k1 = np.asarray(k1, np.uint32)
     k2 = np.asarray(k2, np.uint32)
     v0u = np.asarray(v0, np.float32).view(np.uint32)
     v1u = np.asarray(v1, np.float32).view(np.uint32)
-    n_buckets = 1 << max(3, int(np.ceil(np.log2(max(1, n) * 2 / BUCKET))))
+    n_buckets = 1 << max(3, int(np.ceil(np.log2(max(1, n) * 4 / BUCKET))))
     while True:
         mask = np.uint32(n_buckets - 1)
-        ba = _mix_index(k1, k2, mask).astype(np.int64)
-        bb = _mix_index_b(k1, k2, mask).astype(np.int64)
-        choice = np.zeros(n, bool)  # False = bucket a, True = bucket b
-        ok = False
-        for _ in range(40):
-            cur = np.where(choice, bb, ba)
-            counts = np.bincount(cur, minlength=n_buckets)
-            if counts.max(initial=0) <= BUCKET:
-                ok = True
-                break
-            # rank entries within their current bucket; move the excess
-            # (rank >= BUCKET) that still sit in their FIRST choice over
-            # to their second choice
-            order = np.argsort(cur, kind="stable")
-            ranks = np.empty(n, np.int64)
-            seg_start = np.zeros(n_buckets, np.int64)
-            seg_start[1:] = np.cumsum(counts)[:-1]
-            ranks[order] = np.arange(n) - seg_start[cur[order]]
-            move = (ranks >= BUCKET) & ~choice
-            if not move.any():
-                ok = False  # overflow of second choices too
-                break
-            choice |= move
-        if ok:
+        cur = _mix_index(k1, k2, mask).astype(np.int64)
+        counts = np.bincount(cur, minlength=n_buckets)
+        if counts.max(initial=0) <= BUCKET:
             break
         n_buckets *= 2
-    cur = np.where(choice, bb, ba)
     order = np.argsort(cur, kind="stable")
-    counts = np.bincount(cur, minlength=n_buckets)
     seg_start = np.zeros(n_buckets, np.int64)
     seg_start[1:] = np.cumsum(counts)[:-1]
     slot = np.empty(n, np.int64)
@@ -360,19 +340,11 @@ class DeviceNgramLM:
 
 
 def _bucket_slots(k1, k2, mask, base=0):
-    """(..., 2) int32 BUCKET-row indices of a key's two candidate buckets
-    (device tables are bucket-major: one bucket = one (BUCKET * 4)-u32
-    row, so a probe is two 64-byte row gathers). When both choices land
-    on the same bucket the second is redirected to the next bucket: the
-    key is stored at most once, so the redirected window cannot
-    false-hit, and it keeps the windows disjoint so the callers'
-    masked-SUM hit select never double-counts."""
-    import jax.numpy as jnp
-
+    """(...,) int32 BUCKET-row index of a key's one bucket (device tables
+    are bucket-major: one bucket = one (BUCKET * 4)-u32 row, so a probe
+    is ONE contiguous row gather)."""
     ia = ((k1 * MIX1) ^ (k2 * MIX2)) & mask
-    ib = ((k1 * MIX1B) ^ (k2 * MIX2B)) & mask
-    ib = jnp.where(ib == ia, (ia + 1) & mask, ib)
-    return jnp.stack([ia, ib], -1).astype(jnp.int32) + base
+    return ia.astype("int32") + base
 
 
 def _bucket_rows(rows):
@@ -411,27 +383,28 @@ def _probe_packed(lm: PackedLM, probes):
     probes: list of (table_idx, k1, k2, valid) with a STATIC table index
     per probe; k1/k2/valid share a batch shape. Returns a list of
     (found, val0, val1) per probe. XLA gathers have a large fixed cost on
-    TPU, so folding the 2*order-1 per-step probes into a single gather is
-    ~Jx cheaper than J separate table gathers; two-choice bucketing keeps
-    every probe at a FIXED 2*BUCKET rows (linear probing's worst-case
-    cluster was the HBM random-access bottleneck)."""
+    TPU, so folding the per-step probes into a single gather is ~Jx
+    cheaper than J separate table gathers; single-probe bucketing keeps
+    every probe at a FIXED ONE row — the gather is latency-bound per
+    random ROW (~35 ns measured), so halving rows vs the former
+    two-choice layout halves the dominant cost of LM-fused decode."""
     import jax.numpy as jnp
 
     slots = []
     for ti, k1, k2, _ in probes:
         slots.append(_bucket_slots(k1, k2, jnp.uint32(lm.masks[ti]),
                                    lm.bases[ti]))
-    slots = jnp.stack(slots, axis=-2)              # (..., J, 2)
-    rows = _bucket_rows(lm.ngrams[slots])          # (..., J, 2, B, 4)
+    slots = jnp.stack(slots, axis=-1)              # (..., J)
+    rows = _bucket_rows(lm.ngrams[slots])          # (..., J, B, 4)
     out = []
     for j, (ti, k1, k2, valid) in enumerate(probes):
-        r = rows[..., j, :, :, :]
-        hit = ((r[..., 0] == k1[..., None, None])
-               & (r[..., 1] == k2[..., None, None]))
-        found = hit.any((-2, -1)) & valid
-        # at most one hit across the two buckets (keys are unique per
-        # table): a masked sum selects it without an argmax+gather
-        pick = lambda v: jnp.sum(jnp.where(hit, v, 0.0), axis=(-2, -1))
+        r = rows[..., j, :, :]
+        hit = ((r[..., 0] == k1[..., None])
+               & (r[..., 1] == k2[..., None]))
+        found = hit.any(-1) & valid
+        # at most one hit within the bucket (keys are unique per table):
+        # a masked sum selects it without an argmax+gather
+        pick = lambda v: jnp.sum(jnp.where(hit, v, 0.0), axis=-1)
         out.append((found, pick(jax_bitcast_f32(r[..., 2])),
                     pick(jax_bitcast_f32(r[..., 3]))))
     return out
