@@ -1,14 +1,23 @@
 #!/usr/bin/env python
-"""Beam-decode throughput: C++ beam+LM (text vs binary load) and the
-on-device LM-free beam, at reference widths 10 and 128 (reference uses
-width 10 default / 128 for LM tuning, decoder.py:56-118, README.md:281-293).
+"""Beam-decode throughput, self-defending: every row is the median of
+N>=3 in-session repetitions with min/max attached, and the whole table
+is written as machine-readable JSON (committed as BEAMBENCH_r{N}.json)
+so no decode performance claim lives only as README prose.
+
+Covers the C++ beam+LM (text vs binary load) and the on-device beam at
+reference widths 10 / 32 / 128 (reference uses width 10 default / 128
+for LM tuning, decoder.py:56-118, README.md:281-293), in BOTH posterior
+regimes (flat worst-case and blank-dominated like every trained CTC
+model), BOTH LM modes (no LM / on-device LM fusion), plus the EVAL
+regime (batch 64, n_best=1 — the exact shape evaluate() runs).
 
 Builds a synthetic 3-gram LM (no network in this sandbox; the real
-3-gram.pruned.3e-7.arpa slots in via DSJAX_BEAM_LM=path), then reports:
-  * LM load time: ARPA text parse vs DSLMBIN1 mmap
-  * beam utt/s at width 10 / 128 on (B, T=500, C=29) posteriors
-  * on-device (LM-free) beam utt/s
+3-gram.pruned.3e-7.arpa slots in via DSJAX_BEAM_LM=path).
+
+Usage: python tools/beam_bench.py [--json BEAMBENCH.json] [--reps 3]
 """
+import argparse
+import json
 import os
 import sys
 import time
@@ -65,8 +74,40 @@ def rand_probs(rng, b, t, c, blank_bias=0.0):
     return (e / e.sum(axis=-1, keepdims=True)).astype(np.float32)
 
 
+def timed_row(rows, fn, reps, **tags):
+    """Run fn() reps times; record median/min/max utt/s + print one line."""
+    batch = tags["batch"]
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        ts.append(time.perf_counter() - t0)
+    ts = np.asarray(ts)
+    med = float(np.median(ts))
+    row = dict(tags, n=reps,
+               utt_s_median=round(batch / med, 1),
+               utt_s_min=round(batch / ts.max(), 1),
+               utt_s_max=round(batch / ts.min(), 1),
+               ms_per_utt_median=round(med / batch * 1000, 3))
+    rows.append(row)
+    print(f"{tags['path']:10s} w{tags['width']:<3d} "
+          f"lm={tags['lm']:6s} B={batch:<3d} {tags['regime']:5s} "
+          f"n_best={tags['n_best']:3s}: "
+          f"{row['utt_s_median']:7.1f} utt/s "
+          f"(min {row['utt_s_min']:.1f} / max {row['utt_s_max']:.1f}, "
+          f"n={reps}, {row['ms_per_utt_median']:.2f} ms/utt)", flush=True)
+    return row
+
+
 def main():
     import tempfile
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--json", default="", help="write rows as JSON here")
+    ap.add_argument("--reps", type=int, default=3,
+                    help="in-session repetitions per row (median reported)")
+    args = ap.parse_args()
+    reps = max(3, args.reps)
 
     from dsjax.cpp.beam_binding import build_lm_binary
     from dsjax.decode.beam import BeamCTCDecoder
@@ -93,75 +134,79 @@ def main():
           f"{os.path.getsize(binary) / 1e6:.1f} MB vs "
           f"{os.path.getsize(arpa) / 1e6:.1f} MB ARPA)")
 
+    rows = []
+    meta = {"T_frames": T, "B_conservative": B,
+            "lm": "synthetic 3-gram (4k vocab, 60k bi / 120k tri)"
+                  if not LM_PATH else LM_PATH,
+            "lm_load_s": {"text": round(t_text, 2),
+                          "binary": round(t_bin, 3)},
+            "reps_per_row": reps}
+    try:
+        import jax
+        meta["device"] = str(jax.devices()[0])
+    except Exception:
+        meta["device"] = "unknown"
+
     rng = np.random.default_rng(1)
     probs = rand_probs(rng, B, T, len(DEFAULT_LABELS))
+    # C++ rows: single repetition basis is one full decode of the batch;
+    # single-thread (scales with lm.lm_workers cores in the server)
     for width in (10, 128):
         for name, dec in (("text", d_text), ("binary", d_bin)):
             dec.beam_width = width
-            t0 = time.perf_counter()
-            dec.decode(probs)
-            dt = time.perf_counter() - t0
-            print(f"c++ beam+LM  width {width:3d} ({name:6s}): "
-                  f"{B / dt:7.1f} utt/s ({dt / B * 1000:.1f} ms/utt)")
+            timed_row(rows, lambda d=dec: d.decode(probs),
+                      reps, path=f"cpp-{name}", width=width, lm="kenlm",
+                      batch=B, regime="flat", n_best="all")
 
     # on-device beam: LM-free and with on-device LM fusion
     from dsjax.decode.beam_device import DeviceBeamDecoder
 
     t0 = time.perf_counter()
-    lm_dev = DeviceBeamDecoder(DEFAULT_LABELS, beam_width=10, lm_path=arpa,
-                               alpha=0.4, beta=0.85)
+    dev_lm_dec = DeviceBeamDecoder(DEFAULT_LABELS, beam_width=10,
+                                   lm_path=arpa, alpha=0.4, beta=0.85)
     t_pack = time.perf_counter() - t0
+    shared = dev_lm_dec._lm
+    meta["device_lm_pack_upload_s"] = round(t_pack, 2)
     print(f"device LM pack+upload: {t_pack:.2f}s")
     ctc_probs = rand_probs(np.random.default_rng(2), B, T,
                            len(DEFAULT_LABELS), blank_bias=3.0)
     for width in (10, 128):
-        for name, dd in (("no LM", DeviceBeamDecoder(DEFAULT_LABELS,
-                                                     beam_width=width)),
-                         ("dev LM", DeviceBeamDecoder(
-                             DEFAULT_LABELS, beam_width=width, lm_path=arpa,
-                             alpha=0.4, beta=0.85))):
+        for name, dd in (("none", DeviceBeamDecoder(DEFAULT_LABELS,
+                                                    beam_width=width)),
+                         ("fused", DeviceBeamDecoder(
+                             DEFAULT_LABELS, beam_width=width,
+                             shared_lm=shared, alpha=0.4, beta=0.85))):
             dd.decode(probs[:2, :64])  # warm compile
-            for tag, p in (("flat ", probs), ("ctc  ", ctc_probs)):
-                t0 = time.perf_counter()
-                dd.decode(p)
-                dt = time.perf_counter() - t0
-                t0 = time.perf_counter()
-                dd.decode(p)
-                dt = min(dt, time.perf_counter() - t0)
-                print(f"device beam  width {width:3d} ({name:6s}, {tag}): "
-                      f"{B / dt:7.1f} utt/s ({dt / B * 1000:.1f} ms/utt)")
+            dd.decode(probs)           # warm the full shape
+            for tag, p in (("flat", probs), ("ctc", ctc_probs)):
+                timed_row(rows, lambda d=dd, pp=p: d.decode(pp),
+                          reps, path="device", width=width, lm=name,
+                          batch=B, regime=tag, n_best="all")
 
     # EVAL regime: batch 64, top hypothesis only, blank-dominated — the
     # exact shape evaluate() runs (the rows above are the conservative
     # B=16 / n_best=all setting, which ships a (T, B, W) char stream per
     # batch).  DSJAX_BEAM_EVAL_BATCH overrides the 64.
     eb = int(os.environ.get("DSJAX_BEAM_EVAL_BATCH", "64"))
+    meta["B_eval"] = eb
     eval_probs = rand_probs(np.random.default_rng(3), eb, T,
                             len(DEFAULT_LABELS), blank_bias=3.0)
-    shared = None
     for width in (10, 32, 128):
-        rows = [("no LM", DeviceBeamDecoder(DEFAULT_LABELS,
-                                            beam_width=width))]
-        if shared is None:
-            d = DeviceBeamDecoder(DEFAULT_LABELS, beam_width=width,
-                                  lm_path=arpa, alpha=0.4, beta=0.85)
-            shared = d._lm
-        else:
-            d = DeviceBeamDecoder(DEFAULT_LABELS, beam_width=width,
-                                  shared_lm=shared, alpha=0.4, beta=0.85)
-        rows.append(("dev LM", d))
-        for name, dd in rows:
+        for name, dd in (("none", DeviceBeamDecoder(DEFAULT_LABELS,
+                                                    beam_width=width)),
+                         ("fused", DeviceBeamDecoder(
+                             DEFAULT_LABELS, beam_width=width,
+                             shared_lm=shared, alpha=0.4, beta=0.85))):
             dd.decode(eval_probs[:2, :64], n_best=1)   # warm compile
-            dd.decode(eval_probs, n_best=1)
-            ts = []
-            for _ in range(3):
-                t0 = time.perf_counter()
-                dd.decode(eval_probs, n_best=1)
-                ts.append(time.perf_counter() - t0)
-            dt = float(np.median(ts))
-            print(f"eval regime  width {width:3d} ({name:6s}, B={eb}, "
-                  f"n_best=1): {eb / dt:7.1f} utt/s "
-                  f"({dt / eb * 1000:.2f} ms/utt)")
+            dd.decode(eval_probs, n_best=1)            # warm the full shape
+            timed_row(rows, lambda d=dd: d.decode(eval_probs, n_best=1),
+                      reps, path="device", width=width, lm=name,
+                      batch=eb, regime="ctc", n_best="1")
+
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump({"meta": meta, "rows": rows}, f, indent=1)
+        print(f"wrote {args.json} ({len(rows)} rows)")
 
 
 if __name__ == "__main__":
