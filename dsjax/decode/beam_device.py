@@ -337,8 +337,19 @@ def _beam_scan(log_probs: jnp.ndarray, sizes: jnp.ndarray, beam_width: int,
         # char) — its p_nb IS its pool score, i.e. exactly top_scores at
         # that slot, its p_b is empty, and its hashes roll forward from
         # the parent's.
-        (g_sb, g_nb, g_last, g_h1, g_h2, g_ph1, g_ph2) = _gather_packed(
-            [stay_b, nb_stay, last, h1, h2, ph1, ph2], parent)
+        base_payloads = [stay_b, nb_stay, last, h1, h2, ph1, ph2]
+        if lm is not None:
+            # fold the LM word-state payloads into the SAME packed gather
+            # (one take_along_axis for all 19 columns instead of two ops;
+            # every per-step gather carries a fixed dispatch cost)
+            (g_sb, g_nb, g_last, g_h1, g_h2, g_ph1, g_ph2,
+             p_cur1, p_cur2, p_ctx, p_in, p_memo, p_bonus_new,
+             p_bos, p_newbos) = _gather_packed(
+                base_payloads + [cur1, cur2, ctx, in_word, memo,
+                                 bonus_new, ctx_bos, new_bos_cand], parent)
+        else:
+            (g_sb, g_nb, g_last, g_h1, g_h2, g_ph1,
+             g_ph2) = _gather_packed(base_payloads, parent)
         new_p_b = jnp.where(sel_stay, g_sb, NEG)
         new_p_nb = jnp.where(sel_stay, g_nb, top_scores)
         new_last = jnp.where(sel_stay, g_last, char)
@@ -361,13 +372,10 @@ def _beam_scan(log_probs: jnp.ndarray, sizes: jnp.ndarray, beam_width: int,
 
         if lm is not None:
             # LM word state is a pure function of the selected prefix:
-            # rebuild it from (parent, char) gathers instead of carrying
-            # (B, W, C) candidate fields through the sort — all payloads
-            # share the parent index, so one packed gather covers them
-            (p_cur1, p_cur2, p_ctx, p_in, p_memo, p_bonus_new,
-             p_bos, p_newbos) = _gather_packed(
-                [cur1, cur2, ctx, in_word, memo, bonus_new,
-                 ctx_bos, new_bos_cand], parent)
+            # rebuild it from the (parent, char) payloads gathered above
+            # instead of carrying (B, W, C) candidate fields through the
+            # sort — all payloads share the parent index, so the one
+            # packed gather covered them
             is_stay = char < 0
             is_space = char == space
             cu = (jnp.maximum(char, 0) + 1).astype(jnp.uint32)
