@@ -90,9 +90,10 @@ def timed_row(rows, fn, reps, **tags):
                utt_s_max=round(batch / ts.min(), 1),
                ms_per_utt_median=round(med / batch * 1000, 3))
     rows.append(row)
+    place = f" {tags['posteriors']:6s}" if "posteriors" in tags else ""
     print(f"{tags['path']:10s} w{tags['width']:<3d} "
           f"lm={tags['lm']:6s} B={batch:<3d} {tags['regime']:5s} "
-          f"n_best={tags['n_best']:3s}: "
+          f"n_best={tags['n_best']:3s}{place}: "
           f"{row['utt_s_median']:7.1f} utt/s "
           f"(min {row['utt_s_min']:.1f} / max {row['utt_s_max']:.1f}, "
           f"n={reps}, {row['ms_per_utt_median']:.2f} ms/utt)", flush=True)
@@ -186,11 +187,20 @@ def main():
     # EVAL regime: batch 64, top hypothesis only, blank-dominated — the
     # exact shape evaluate() runs (the rows above are the conservative
     # B=16 / n_best=all setting, which ships a (T, B, W) char stream per
-    # batch).  DSJAX_BEAM_EVAL_BATCH overrides the 64.
+    # batch).  Timed in BOTH posterior placements: "host" uploads numpy
+    # posteriors per call; "device" passes device-resident posteriors —
+    # evaluate() runs the device placement (workflows.py keeps the
+    # acoustic model's output on device; accepts_device_arrays).
+    # DSJAX_BEAM_EVAL_BATCH overrides the 64.
+    import jax
+    import jax.numpy as jnp
+
     eb = int(os.environ.get("DSJAX_BEAM_EVAL_BATCH", "64"))
     meta["B_eval"] = eb
     eval_probs = rand_probs(np.random.default_rng(3), eb, T,
                             len(DEFAULT_LABELS), blank_bias=3.0)
+    eval_probs_dev = jnp.asarray(eval_probs)
+    jax.block_until_ready(eval_probs_dev)
     for width in (10, 32, 128):
         for name, dd in (("none", DeviceBeamDecoder(DEFAULT_LABELS,
                                                     beam_width=width)),
@@ -199,9 +209,11 @@ def main():
                              shared_lm=shared, alpha=0.4, beta=0.85))):
             dd.decode(eval_probs[:2, :64], n_best=1)   # warm compile
             dd.decode(eval_probs, n_best=1)            # warm the full shape
-            timed_row(rows, lambda d=dd: d.decode(eval_probs, n_best=1),
-                      reps, path="device", width=width, lm=name,
-                      batch=eb, regime="ctc", n_best="1")
+            for place, p in (("host", eval_probs), ("device", eval_probs_dev)):
+                timed_row(rows, lambda d=dd, pp=p: d.decode(pp, n_best=1),
+                          reps, path="device", width=width, lm=name,
+                          batch=eb, regime="ctc", n_best="1",
+                          posteriors=place)
 
     if args.json:
         with open(args.json, "w") as f:
