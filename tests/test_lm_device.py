@@ -315,6 +315,37 @@ def test_packed_tables_at_scale():
         assert abs(want - got[j]) < 1e-4, (j, w, ctx, want, got[j])
 
 
+def test_table_load_factor():
+    """The bucket mixer must spread keys well enough that tables build at
+    their DESIGNED load (~0.25), not overflow-double their way down to
+    0.06-0.12 (the r5 bug: the raw multiply-xor combine avalanches low
+    bits poorly; a murmur-style finalizer fixes it). Load directly sets
+    both LM memory and the per-step HBM gather's table size."""
+    rng = np.random.default_rng(11)
+    letters = np.array(list("ABC"))  # the test LABELS alphabet
+    words, seen = [], set()
+    while len(words) < 2000:
+        w = "".join(rng.choice(letters, size=rng.integers(2, 9)))
+        if w not in seen:
+            seen.add(w)
+            words.append(w)
+    ngrams1 = {(w,): (-2.0, -0.3) for w in words}
+    idx2 = rng.integers(0, len(words), size=(40000, 2))
+    ngrams2 = {(words[a], words[b]): (-3.0, -0.3) for a, b in idx2}
+
+    class FakeArpa:
+        order = 2
+        ngrams = [ngrams1, ngrams2]
+
+    dev = DeviceNgramLM(FakeArpa(), LABELS)
+    for i, t in enumerate(dev.tables):
+        used = int((t.data[:, 0] != 0xFFFFFFFF).sum())
+        load = used / len(t.data)
+        # start sizing is n*4/BUCKET buckets -> load 0.25 before rounding
+        # up to a power of two (>= 0.125); ONE extra doubling tolerated
+        assert load >= 0.1, (i, load, len(t.data))
+
+
 @pytest.mark.parametrize("top_n,cprob,with_lm", [
     (3, 1.0, False), (6, 0.9, False), (2, 0.8, True), (4, 0.95, True)])
 def test_cutoff_pruning_matches_host(arpa_path, top_n, cprob, with_lm):
