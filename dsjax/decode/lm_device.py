@@ -19,10 +19,12 @@ hash tables so the beam search scan (dsjax.decode.beam_device) can fuse
   doubling or two);
 * decoder-side words are identified by two rolling hashes over their LABEL
   indices (beams never materialize strings); n-gram keys fold those hash
-  PAIRS directly — there is no word-id indirection, so the per-step
-  scoring is ONE packed gather with no vocab-probe dependency ahead of it
-  (the former vocab->id->key chain serialized two gathers per step, and
-  TPU gathers pay a fixed per-op dispatch on top of per-row cost);
+  PAIRS directly — there is no word-id indirection, so nothing serializes
+  ahead of the per-order probe gathers (the former vocab->id->key chain
+  put a dependent vocab gather in front of every n-gram probe). The
+  ``order`` probes run as SEPARATE rank-3 gathers, which Mosaic lowers
+  ~3.7x faster than one stacked (..., J)-indexed gather (see
+  _probe_packed);
 * scoring follows dsjax.decode.lm.ArpaLM._score exactly: P(w|ctx) from the
   longest matching order, else backoff(ctx) + P(w|shorter ctx), OOV ->
   <unk> unigram (or -100 log10). An OOV word's hash pair matches no table
@@ -190,9 +192,10 @@ class PackedLM:
 
     ``ngrams`` holds ALL n-gram tables concatenated into ONE bucket-major
     (n_buckets_total, BUCKET * 4) uint32 array, with static per-table base
-    offsets / index masks / probe depths — so the per-step Katz-backoff
-    scoring is ONE row gather covering every n-gram probe of every beam
-    (keys fold word hash pairs directly; no vocab probe precedes it)."""
+    offsets / index masks / probe depths — the per-step Katz-backoff
+    scoring is one independent row gather per n-gram order, each covering
+    every beam (keys fold word hash pairs directly; no vocab probe
+    precedes any of them, so the gathers issue concurrently)."""
 
     def __init__(self, order: int, unk_logp: float,
                  ngrams, bases, masks, depths):
@@ -391,27 +394,30 @@ def _fold_pairs_jnp(pairs):
 
 
 def _probe_packed(lm: PackedLM, probes):
-    """Run many n-gram probes as ONE row gather of the packed table.
+    """Run the step's n-gram probes as J SEPARATE one-row-per-key gathers.
 
     probes: list of (table_idx, k1, k2, valid) with a STATIC table index
     per probe; k1/k2/valid share a batch shape. Returns a list of
-    (found, val0, val1) per probe. XLA gathers have a large fixed cost on
-    TPU, so folding the per-step probes into a single gather is ~Jx
-    cheaper than J separate table gathers; single-probe bucketing keeps
-    every probe at a FIXED ONE row — the gather is latency-bound per
-    random ROW (~35 ns measured), so halving rows vs the former
-    two-choice layout halves the dominant cost of LM-fused decode."""
+    (found, val0, val1) per probe.
+
+    Layout history, all measured in-scan on v5e at the eval regime
+    (B=64, W=128, J=3, ~13 MB table): a single stacked gather over
+    (..., J) indices was built first on the model that TPU gathers pay a
+    large fixed dispatch (so one gather beats J). That model is wrong at
+    these shapes: the packed (..., J) gather plus its (..., J, BUCKET, 4)
+    reshape consumer lowers to a 919 us/step loop, while J separate
+    (...,)-indexed gathers, each consumed through its own
+    (..., BUCKET, 4) reshape, cost 251 us/step TOTAL — Mosaic emits the
+    fast contiguous-row path only for the rank-3 result. Keeping the
+    strided consumer on the packed gather (no reshape) lands between
+    (369 us). Hence: one gather per probe, reshape per probe."""
     import jax.numpy as jnp
 
-    slots = []
-    for ti, k1, k2, _ in probes:
-        slots.append(_bucket_slots(k1, k2, jnp.uint32(lm.masks[ti]),
-                                   lm.bases[ti]))
-    slots = jnp.stack(slots, axis=-1)              # (..., J)
-    rows = _bucket_rows(lm.ngrams[slots])          # (..., J, B, 4)
     out = []
-    for j, (ti, k1, k2, valid) in enumerate(probes):
-        r = rows[..., j, :, :]
+    for ti, k1, k2, valid in probes:
+        slots = _bucket_slots(k1, k2, jnp.uint32(lm.masks[ti]),
+                              lm.bases[ti])
+        r = _bucket_rows(lm.ngrams[slots])         # (..., BUCKET, 4)
         hit = ((r[..., 0] == k1[..., None])
                & (r[..., 1] == k2[..., None]))
         found = hit.any(-1) & valid
@@ -431,10 +437,10 @@ def score_word_ln(lm: PackedLM, cur1, cur2, ctx, ctx_bos=None):
     cur1/cur2: rolling char hashes of the word (any batch shape);
     ctx: (..., order-1, 2) uint32 context word hash pairs, oldest ->
     newest (h1 == CTX_ABSENT where history is shorter). Mirrors
-    ArpaLM._score. With ctx_bos carried, the whole query is ONE packed
-    gather of ``order`` probes — there is no vocab lookup: the unigram
+    ArpaLM._score. With ctx_bos carried, the whole query is ``order``
+    independent one-row probes — there is no vocab lookup: the unigram
     probe's own hit flag is the in-vocab test (every LM word has a
-    unigram entry), so nothing serializes ahead of the gather.
+    unigram entry), so nothing serializes ahead of any gather.
 
     ctx_bos: (..., order-1) float32 CARRIED context backoffs —
     ctx_bos[..., j] = backoff weight (log10; 0 when the entry is absent)
