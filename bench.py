@@ -242,9 +242,14 @@ def main():
     # network to measure the reference stack; BASELINE.md's action item).
     # tools/reference_gpu_bench.py measures the real number on any CUDA
     # host; feed it back here to retire the estimate.
-    baseline_a100_utt_s = float(
-        os.environ.get("DSJAX_BASELINE_A100_UTT_S", "90.0"))
-    baseline_estimated = "DSJAX_BASELINE_A100_UTT_S" not in os.environ
+    # parsed defensively: this runs AFTER all timed reps, so a typo'd env
+    # value must not throw away the run
+    try:
+        baseline_a100_utt_s = float(
+            os.environ.get("DSJAX_BASELINE_A100_UTT_S") or 90.0)
+        baseline_estimated = not os.environ.get("DSJAX_BASELINE_A100_UTT_S")
+    except ValueError:
+        baseline_a100_utt_s, baseline_estimated = 90.0, True
     tag = "_ragged" if RAGGED else ""
     if RAGGED and RAGGED_SPLIT > 1:
         tag += f"_split{RAGGED_SPLIT}"

@@ -572,33 +572,41 @@ class DeviceBeamDecoder:
         self._lm_rep = None          # lazily replicated copy (see _lm_for)
         self._lm_rep_devices = None
 
+    @staticmethod
+    def _single_device_tpu(lp) -> bool:
+        """Backend is TPU and the posteriors are not sharded over more
+        than one device — a Mosaic custom call has no GSPMD partitioning
+        rule, while the pure-XLA path partitions cleanly."""
+        if jax.default_backend() != "tpu":
+            return False
+        dset = getattr(getattr(lp, "sharding", None), "device_set", None)
+        return not dset or len(dset) <= 1
+
     def _pallas_ok(self, lp) -> bool:
         """Whether the scan may use Pallas kernels for THIS decode —
         decided here, outside jit, where sharding/backend/env are
         concrete (inside a traced function they would be burned into the
-        first compilation and silently stale afterwards).  Sharded
-        posteriors must say no: a Mosaic custom call has no GSPMD
-        partitioning rule, while lax.top_k partitions cleanly."""
-        if jax.default_backend() != "tpu":
-            return False
-        if os.environ.get("DSJAX_PALLAS_TOPK", "1") == "0":
-            return False
-        dset = getattr(getattr(lp, "sharding", None), "device_set", None)
-        return not dset or len(dset) <= 1
+        first compilation and silently stale afterwards)."""
+        return (os.environ.get("DSJAX_PALLAS_TOPK", "1") != "0"
+                and self._single_device_tpu(lp))
 
     def _fused_ok(self, lp) -> bool:
         """Whether THIS decode may use the whole-scan fused Pallas beam
         kernel (dsjax.ops.beam_pallas) — like _pallas_ok, decided
         outside jit so the DSJAX_FUSED_BEAM opt-in is re-read every
         decode (never burned stale into a cached trace), and
-        independent of the DSJAX_PALLAS_TOPK top-k toggle. Sharded
-        posteriors must say no for the same GSPMD reason."""
-        if jax.default_backend() != "tpu":
-            return False
-        if os.environ.get("DSJAX_FUSED_BEAM") != "1":
-            return False
-        dset = getattr(getattr(lp, "sharding", None), "device_set", None)
-        return not dset or len(dset) <= 1
+        independent of the DSJAX_PALLAS_TOPK top-k toggle. Also requires
+        a decode the kernel can actually take (no LM, no pruning,
+        width <= 128, classes <= 30): fused=True is a STATIC jit arg, so
+        passing it when _beam_scan would fall through anyway forces a
+        second, behaviorally identical compilation of the scan."""
+        return (os.environ.get("DSJAX_FUSED_BEAM") == "1"
+                and self._lm is None
+                and self.beam_width <= 128
+                and lp.shape[-1] <= 30
+                and self.cutoff_top_n >= lp.shape[-1]
+                and self.cutoff_prob >= 1.0
+                and self._single_device_tpu(lp))
 
     def _lm_for(self, lp):
         """LM tables placed to match the posteriors: when ``lp`` is sharded

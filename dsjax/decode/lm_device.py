@@ -12,11 +12,11 @@ hash tables so the beam search scan (dsjax.decode.beam_device) can fuse
   (BUCKET * 16)-byte row gather followed by a branch-free key-match
   select (collision odds ~2^-64 per pair, the same standard as the
   beam's exact prefix merging). TPU gather cost scales with gathered ROW
-  count, not bytes (measured ~35 ns/row at random HBM rows), so one
-  8-slot bucket beats the former two-choice pair of 4-slot buckets ~2x
-  at identical hit semantics; the build simply grows the table until no
-  bucket overflows (load <= 0.25 at the start point, so at most a
-  doubling or two);
+  count, not bytes — and 256-byte rows ride the wide-row fast path
+  (measured 21 vs 49 ns/row on v5e) — so one 16-slot bucket beats the
+  former two-choice pair of narrower buckets ~2x at identical hit
+  semantics; the build simply grows the table until no bucket overflows
+  (load 0.25 at the start point, so at most a doubling or two);
 * decoder-side words are identified by two rolling hashes over their LABEL
   indices (beams never materialize strings); n-gram keys fold those hash
   PAIRS directly — there is no word-id indirection, so nothing serializes
@@ -128,8 +128,9 @@ class HashTable:
     probing's worst-case cluster, 28-42 rows at 50% load over millions
     of keys, set the probe window; the two-choice successor fixed that
     but paid TWO gather rows per probe, and TPU random-row gathers are
-    latency-bound per ROW — one 8-slot bucket at a quarter the load is
-    the same hit semantics at half the gather rows.)
+    latency-bound per ROW — one 16-slot bucket at a quarter the load is
+    the same hit semantics at half the gather rows, and its 256-byte row
+    rides XLA's wide-row gather fast path.)
     ``depth`` = BUCKET (kept for aux-data compatibility)."""
 
     def __init__(self, data, depth: int = BUCKET):
@@ -157,8 +158,9 @@ def _build_table(k1: np.ndarray, k2: np.ndarray, v0: np.ndarray,
                  v1: np.ndarray) -> HashTable:
     """Bulk single-probe bucket insertion (vectorized): every key goes to
     its one _mix_index bucket; if any bucket overflows BUCKET slots the
-    table doubles and retries (start load = 2 keys per 8-slot bucket, so
-    the Poisson tail costs at most a doubling or two for real LMs)."""
+    table doubles and retries (start load = 4 keys per 16-slot bucket —
+    n*4/BUCKET buckets before power-of-two rounding — so the Poisson
+    tail costs at most a doubling or two for real LMs)."""
     n = len(k1)
     k1 = np.asarray(k1, np.uint32)
     k2 = np.asarray(k2, np.uint32)

@@ -44,9 +44,13 @@ so the >= 512 dispatch threshold is neutral-at-worst; the kernel's
 unambiguous win needs the launch amortized across the whole scan, see
 ops/beam_pallas.py for that experiment and its own trade-offs.
 
-Used by the beam decoder via `topk` below, which falls back to
-`jax.lax.top_k` off-TPU (the CPU test mesh) or when shapes make the
-kernel pointless (N < 512); `DSJAX_PALLAS_TOPK=0` forces the fallback.
+Used by the beam decoder via `topk` below. Dispatch policy lives in the
+CALLER: the decoder decides outside jit (DeviceBeamDecoder._pallas_ok —
+TPU backend, unsharded operands, DSJAX_PALLAS_TOPK kill switch) and
+passes an explicit use_pallas bool; topk itself only applies the
+shape gate (N < 512 falls back to lax.top_k) and defaults to lax.top_k
+when use_pallas is None, because this kernel has no GSPMD partitioning
+rule and must not be reached through a sharded jit by default.
 Reference behavior matched: candidate selection inside the beam step of
 parlance/ctcdecode (wrapped by reference decoder.py:56-118); exactness
 vs `lax.top_k` is what the decoder-parity fuzz tests pin.

@@ -342,8 +342,9 @@ def test_table_load_factor():
         used = int((t.data[:, 0] != 0xFFFFFFFF).sum())
         load = used / len(t.data)
         # start sizing is n*4/BUCKET buckets -> load 0.25 before rounding
-        # up to a power of two (>= 0.125); ONE extra doubling tolerated
-        assert load >= 0.1, (i, load, len(t.data))
+        # up to a power of two (>= 0.125); ONE extra doubling tolerated,
+        # so the floor is 0.125 / 2
+        assert load >= 0.0625, (i, load, len(t.data))
 
 
 @pytest.mark.parametrize("top_n,cprob,with_lm", [
