@@ -236,6 +236,11 @@ class ModelLoadConfig:
 class InferenceConfig:
     lm: LMConfig = field(default_factory=LMConfig)
     model: ModelLoadConfig = field(default_factory=ModelLoadConfig)
+    # force a jax platform ('cpu' for CPU smoke/CI runs; '' = default).
+    # Mirrors TrainerConfig.platform: jax.config wins over the
+    # JAX_PLATFORMS env var, which TPU PJRT plugins may override.
+    platform: str = ""
+    num_cpu_devices: int = 0            # >0: fake this many CPU devices
 
 
 @dataclass

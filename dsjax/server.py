@@ -402,6 +402,9 @@ def _parse_upload(content_type: str, data: bytes) -> Tuple[Optional[str], Option
 
 def main(cfg: ServerConfig) -> None:
     print("Setting up server...")
+    from dsjax.workflows import apply_platform
+
+    apply_platform(cfg.platform, cfg.num_cpu_devices)
     bundle = load_model(cfg.model.model_path, cfg.model.precision)
     decoder = load_decoder(bundle.labels, cfg.lm)
     worker = BatchWorker(bundle, decoder, cfg)

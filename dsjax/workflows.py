@@ -93,17 +93,26 @@ def _resume_explicit(path: str, state):
     return state, extra
 
 
+def apply_platform(platform: str, num_cpu_devices: int = 0) -> None:
+    """Force the jax platform BEFORE first device use (no-op defaults).
+
+    jax.config wins over the JAX_PLATFORMS env var, which TPU PJRT
+    plugins may override — so the config field is the only CPU override
+    that sticks under every launcher."""
+    if platform or num_cpu_devices:
+        import jax
+
+        if platform:
+            jax.config.update("jax_platforms", platform)
+        if num_cpu_devices:
+            jax.config.update("jax_num_cpu_devices", num_cpu_devices)
+
+
 def train(cfg: TrainConfig) -> None:
     """Full training workflow (reference: training.py:13-47)."""
     from dsjax.parallel.distributed import initialize as dist_initialize
 
-    if cfg.trainer.platform or cfg.trainer.num_cpu_devices:
-        import jax
-
-        if cfg.trainer.platform:
-            jax.config.update("jax_platforms", cfg.trainer.platform)
-        if cfg.trainer.num_cpu_devices:
-            jax.config.update("jax_num_cpu_devices", cfg.trainer.num_cpu_devices)
+    apply_platform(cfg.trainer.platform, cfg.trainer.num_cpu_devices)
     # join the multi-host cluster BEFORE any device use (no-op single-host);
     # replaces the reference's TorchElastic+etcd rendezvous (README.md:154-189)
     dist_initialize()
@@ -172,6 +181,7 @@ def evaluate(cfg: EvalConfig) -> Tuple[float, float]:
     k overlaps the device forward of batch k+1."""
     import time as _time
 
+    apply_platform(cfg.platform, cfg.num_cpu_devices)
     bundle = load_model(cfg.model.model_path, cfg.model.precision)
     decoder = load_decoder(bundle.labels, cfg.lm)
     target_decoder = load_decoder(bundle.labels, type(cfg.lm)())  # greedy
@@ -276,6 +286,7 @@ def evaluate(cfg: EvalConfig) -> Tuple[float, float]:
 
 def transcribe(cfg: TranscribeConfig) -> dict:
     """Transcription workflow (reference: inference.py:44-76)."""
+    apply_platform(cfg.platform, cfg.num_cpu_devices)
     bundle = load_model(cfg.model.model_path, cfg.model.precision)
     decoder = load_decoder(bundle.labels, cfg.lm, want_offsets=cfg.offsets)
     decoded_output, decoded_offsets = run_transcribe(
