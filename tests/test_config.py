@@ -71,3 +71,27 @@ def test_roundtrip_dict():
 def test_packaged_overlays_exist():
     base = os.path.join(os.path.dirname(__file__), "..", "dsjax", "configs")
     assert os.path.isfile(os.path.join(base, "an4.yaml"))
+
+
+def test_inference_platform_override():
+    # the platform override is the only CPU forcing that sticks under
+    # every launcher (jax.config wins over JAX_PLATFORMS, which TPU PJRT
+    # plugins may rewrite); eval/transcribe/server all inherit it from
+    # InferenceConfig and route it through workflows.apply_platform
+    from dsjax.config import EvalConfig, ServerConfig, TranscribeConfig, compose
+    from dsjax.workflows import apply_platform
+
+    for cls in (EvalConfig, TranscribeConfig, ServerConfig):
+        cfg = compose(cls, ["platform=cpu", "num_cpu_devices=2"])
+        assert cfg.platform == "cpu"
+        assert cfg.num_cpu_devices == 2
+    # defaults are a strict no-op: no jax import, no config mutation
+    import sys
+
+    apply_platform("", 0)
+    # non-default path applies through jax.config (tests already run on
+    # cpu, so re-asserting the same platform must be accepted)
+    apply_platform("cpu", 0)
+    import jax
+
+    assert jax.config.jax_platforms == "cpu"
